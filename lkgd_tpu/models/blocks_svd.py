@@ -1,0 +1,500 @@
+"""Spatio-temporal UNet building blocks (channels-last, static shapes).
+
+Functional re-implementation of the diffusers block vocabulary the reference SVD UNet is
+assembled from (`diffusers.models.unets.unet_3d_blocks`, consumed at reference
+`models/unet_spatio_temporal_condition.py:14,171-286`), plus the LKGD joint-attention
+branch that the reference bolts on by class-swizzling (`patch/patch.py:94-688`) — here a
+static config option of the transformer blocks.
+
+Layout conventions:
+  * hidden states: ``(B*T, H, W, C)`` channels-last (B stream-major when joint streams)
+  * temb: ``(B*T, 1280)``; image_only_indicator: ``(B, T)``
+  * spatial attention tokens: ``(B*T, H*W, C)``; temporal tokens: ``(B*H*W, T, C)``
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, EMPTY_ROUTER
+from lkgd_tpu.models.layers import (
+    AdaLayerNormContinuous,
+    AlphaBlender,
+    Attention,
+    DenseWithLora,
+    FeedForward,
+    GroupNorm,
+    LayerNorm,
+    TimestepEmbedding,
+    get_timestep_embedding,
+)
+
+
+# ------------------------------------------------------------------ resnet blocks
+class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D (pre-norm, silu, 3x3 convs, temb add after conv1)."""
+
+    out_channels: int
+    temb_channels: int = 1280
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class TemporalResnetBlock(nn.Module):
+    """diffusers TemporalResnetBlock: (3,1,1) convs over the frame axis.
+
+    Input ``(B, T, H*W, C)``; the (3,1,1) Conv3d becomes a (3,1) Conv over (T, HW) —
+    identical math, TPU-friendly layout. temb: ``(B, T, temb_channels)``.
+    """
+
+    out_channels: int
+    temb_channels: int = 1280
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, :, None, :]
+        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
+                    name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """Spatial ResBlock + temporal ResBlock + learned AlphaBlender
+    (diffusers SpatioTemporalResBlock; see SURVEY.md §2.1)."""
+
+    out_channels: int
+    temb_channels: int = 1280
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray,
+                 image_only_indicator: jnp.ndarray) -> jnp.ndarray:
+        num_frames = image_only_indicator.shape[-1]
+        h = ResnetBlock2D(self.out_channels, self.temb_channels, self.eps, dtype=self.dtype,
+                          name="spatial_res_block")(x, temb)
+        bf, H, W, C = h.shape
+        b = bf // num_frames
+        h_t = h.reshape(b, num_frames, H * W, C)
+        temb_t = temb.reshape(b, num_frames, temb.shape[-1])
+        mix = TemporalResnetBlock(self.out_channels, self.temb_channels, self.eps,
+                                  dtype=self.dtype, name="temporal_res_block")(h_t, temb_t)
+        out = AlphaBlender(0.5, switch_spatial_to_temporal_mix=True, name="time_mixer")(
+            h_t, mix, image_only_indicator)
+        return out.reshape(bf, H, W, C)
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+# ------------------------------------------------------------------ joint-attention helpers
+def _partner_streams(x: jnp.ndarray, joint: JointAttentionConfig, num_frames: int,
+                     flip_frames: bool) -> jnp.ndarray:
+    """Build the partner-stream context: swap stream blocks per the static mask, optionally
+    reversing the frame axis (reference `patch/patch.py:454-475`). ``x``: (rows, N, C) with
+    rows stream-major; the frame axis is nested innermost of the row-block when
+    ``flip_frames`` (spatial layout rows = B*T)."""
+    s = len(joint.mask)
+    rows, n, c = x.shape
+    perm = jnp.asarray(joint.partner_perm, dtype=jnp.int32)
+    if flip_frames and joint.flip:
+        xr = x.reshape(s, rows // s // num_frames, num_frames, n, c)
+        xr = jnp.take(xr, perm, axis=0)[:, :, ::-1]
+    else:
+        xr = x.reshape(s, rows // s, n, c)
+        xr = jnp.take(xr, perm, axis=0)
+    return xr.reshape(rows, n, c)
+
+
+class JointAttentionBranch(nn.Module):
+    """attn1n + zero-init post projection (reference `patch/patch.py:143-172,438-500`)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    joint: JointAttentionConfig
+    block_path: str  # diffusers-style path prefix for LoRA routing
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, norm_hidden_states: jnp.ndarray, num_frames: int,
+                 flip_frames: bool, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = norm_hidden_states
+        if self.joint.add_norm:
+            if temb is None:
+                raise ValueError("add_norm joint attention requires temb conditioning")
+            x = AdaLayerNormContinuous(self.dim, dtype=self.dtype, name="norm1n")(x, temb)
+
+        partner = _partner_streams(x, self.joint, num_frames, flip_frames)
+        p = f"{self.block_path}.attn1n"
+        attn1n = Attention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1n",
+            adapters_q=self.lora.resolve(p, "to_q"),
+            # K/V projections act on the partner stream -> inverted masks
+            # (reference patch.py:892-895)
+            adapters_k=self.lora.resolve(p, "to_k", invert_streams=True),
+            adapters_v=self.lora.resolve(p, "to_v", invert_streams=True),
+            adapters_out=self.lora.resolve(p, "to_out"),
+        )
+        out = attn1n(x, encoder_hidden_states=partner)
+
+        if self.joint.post == "conv":
+            out = nn.Dense(self.dim, use_bias=False, kernel_init=nn.initializers.zeros,
+                           dtype=self.dtype, name="conv1n")(out)
+        elif self.joint.post == "scale":
+            scale = self.param("scale1n", nn.initializers.zeros, (1, 1, self.dim))
+            out = out * scale.astype(out.dtype)
+        elif self.joint.post == "conv_fuse":
+            # concat x-rows with y-rows featurewise, mix with one zero-init linear, scatter
+            # back (reference patch.py:488-494)
+            s = len(self.joint.mask)
+            rows, n, c = out.shape
+            blocks = out.reshape(s, rows // s, n, c)
+            ones = [i for i, m in enumerate(self.joint.mask) if m]
+            zeros = [i for i, m in enumerate(self.joint.mask) if not m]
+            x_part = blocks[jnp.asarray(ones)].reshape(-1, n, c)
+            y_part = blocks[jnp.asarray(zeros)].reshape(-1, n, c)
+            fused = nn.Dense(2 * self.dim, use_bias=False, kernel_init=nn.initializers.zeros,
+                             dtype=self.dtype, name="conv1n")(
+                                 jnp.concatenate([x_part, y_part], axis=-1))
+            fx, fy = jnp.split(fused, 2, axis=-1)
+            blocks = blocks.at[jnp.asarray(ones)].set(fx.reshape(len(ones), rows // s, n, c))
+            blocks = blocks.at[jnp.asarray(zeros)].set(fy.reshape(len(zeros), rows // s, n, c))
+            out = blocks.reshape(rows, n, c)
+        return out
+
+
+# ------------------------------------------------------------------ transformer blocks
+class BasicTransformerBlock(nn.Module):
+    """Spatial transformer block: self-attn (+ optional joint branch), cross-attn, GEGLU FF
+    (diffusers BasicTransformerBlock; joint branch per reference `patch/patch.py:390-580`)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int = 1024
+    joint: Optional[JointAttentionConfig] = None
+    block_path: str = ""
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, encoder_hidden_states: jnp.ndarray,
+                 num_frames: int = 1, joint_scale=1.0,
+                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        norm_x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        attn_out = Attention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1",
+            adapters_q=self.lora.resolve(f"{self.block_path}.attn1", "to_q"),
+            adapters_k=self.lora.resolve(f"{self.block_path}.attn1", "to_k"),
+            adapters_v=self.lora.resolve(f"{self.block_path}.attn1", "to_v"),
+            adapters_out=self.lora.resolve(f"{self.block_path}.attn1", "to_out"),
+        )(norm_x)
+        if self.joint is not None and self.joint.spatial:
+            joint_out = JointAttentionBranch(
+                self.dim, self.heads, self.dim_head, self.joint, self.block_path, self.lora,
+                dtype=self.dtype, name="joint")(norm_x, num_frames, flip_frames=True, temb=temb)
+            attn_out = attn_out + joint_out * joint_scale
+        x = x + attn_out
+
+        norm_x = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            self.dim, self.heads, self.dim_head, kv_dim=self.cross_attention_dim,
+            dtype=self.dtype, name="attn2",
+            adapters_q=self.lora.resolve(f"{self.block_path}.attn2", "to_q"),
+            adapters_k=self.lora.resolve(f"{self.block_path}.attn2", "to_k"),
+            adapters_v=self.lora.resolve(f"{self.block_path}.attn2", "to_v"),
+            adapters_out=self.lora.resolve(f"{self.block_path}.attn2", "to_out"),
+        )(norm_x, encoder_hidden_states=encoder_hidden_states)
+
+        norm_x = LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x + FeedForward(dtype=self.dtype, name="ff")(norm_x)
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Temporal transformer block: ff_in + temporal self-attn (+ optional joint branch) +
+    cross-attn + FF (diffusers TemporalBasicTransformerBlock; joint per
+    reference `patch/patch.py:582-686`). Input ``(B*T, HW, C)``; internally tokens = T."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int = 1024
+    joint: Optional[JointAttentionConfig] = None
+    block_path: str = ""
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, num_frames: int, time_context: jnp.ndarray,
+                 joint_scale=1.0) -> jnp.ndarray:
+        bf, seq, c = x.shape
+        b = bf // num_frames
+        # (B*T, HW, C) -> (B*HW, T, C)
+        x = x.reshape(b, num_frames, seq, c).transpose(0, 2, 1, 3).reshape(b * seq, num_frames, c)
+
+        residual = x
+        h = LayerNorm(dtype=self.dtype, name="norm_in")(x)
+        h = FeedForward(dtype=self.dtype, name="ff_in")(h)
+        x = h + residual  # is_res: time_mix_inner_dim == dim in SVD
+
+        norm_x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        attn_out = Attention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1",
+            adapters_q=self.lora.resolve(f"{self.block_path}.attn1", "to_q"),
+            adapters_k=self.lora.resolve(f"{self.block_path}.attn1", "to_k"),
+            adapters_v=self.lora.resolve(f"{self.block_path}.attn1", "to_v"),
+            adapters_out=self.lora.resolve(f"{self.block_path}.attn1", "to_out"),
+        )(norm_x)
+        if self.joint is not None and self.joint.temporal:
+            joint_out = JointAttentionBranch(
+                self.dim, self.heads, self.dim_head, self.joint, self.block_path, self.lora,
+                dtype=self.dtype, name="joint")(norm_x, num_frames, flip_frames=False)
+            attn_out = attn_out + joint_out * joint_scale
+        x = x + attn_out
+
+        norm_x = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(self.dim, self.heads, self.dim_head, kv_dim=self.cross_attention_dim,
+                          dtype=self.dtype, name="attn2")(norm_x, encoder_hidden_states=time_context)
+
+        norm_x = LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(norm_x)
+
+        # back to (B*T, HW, C)
+        x = x.reshape(b, seq, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, seq, c)
+        return x
+
+
+class TransformerSpatioTemporalModel(nn.Module):
+    """GroupNorm + proj_in + interleaved spatial/temporal blocks + AlphaBlender + proj_out
+    (diffusers TransformerSpatioTemporalModel)."""
+
+    num_layers: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int = 1024
+    joint: Optional[JointAttentionConfig] = None
+    block_path: str = ""
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, encoder_hidden_states: jnp.ndarray,
+                 image_only_indicator: jnp.ndarray, joint_scale=1.0,
+                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        bf, H, W, C = x.shape
+        num_frames = image_only_indicator.shape[-1]
+        b = bf // num_frames
+        inner = self.heads * self.dim_head
+
+        # time_context: first-frame context broadcast per pixel (diffusers semantics)
+        ctx = encoder_hidden_states  # (B*T, L, D)
+        ctx_first = ctx.reshape(b, num_frames, *ctx.shape[1:])[:, 0]  # (B, L, D)
+        time_context = jnp.broadcast_to(ctx_first[:, None], (b, H * W) + ctx_first.shape[1:])
+        time_context = time_context.reshape(b * H * W, *ctx_first.shape[1:])
+
+        residual = x
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm")(x)
+        h = h.reshape(bf, H * W, C)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+
+        # frame-position embedding added before each temporal block
+        frame_ids = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), b)
+        t_emb = get_timestep_embedding(frame_ids, inner)
+        emb = TimestepEmbedding(inner * 4, out_dim=inner, dtype=self.dtype, name="time_pos_embed")(
+            t_emb.astype(self.dtype))
+        emb = emb[:, None, :]
+
+        time_mixer = AlphaBlender(0.5, name="time_mixer")  # one blender shared by all layers
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                inner, self.heads, self.dim_head, self.cross_attention_dim,
+                joint=self.joint, block_path=f"{self.block_path}.transformer_blocks.{i}", lora=self.lora,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(h, encoder_hidden_states, num_frames=num_frames, joint_scale=joint_scale, temb=temb)
+            h_mix = h + emb
+            h_mix = TemporalBasicTransformerBlock(
+                inner, self.heads, self.dim_head, self.cross_attention_dim,
+                joint=self.joint, block_path=f"{self.block_path}.temporal_transformer_blocks.{i}",
+                lora=self.lora, dtype=self.dtype, name=f"temporal_transformer_blocks_{i}",
+            )(h_mix, num_frames, time_context, joint_scale=joint_scale)
+            h = time_mixer(h, h_mix, image_only_indicator)
+
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(bf, H, W, C) + residual
+
+
+# ------------------------------------------------------------------ down / mid / up blocks
+class CrossAttnDownBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    transformer_layers: int = 1
+    heads: int = 5
+    cross_attention_dim: int = 1024
+    add_downsample: bool = True
+    joint: Optional[JointAttentionConfig] = None
+    block_path: str = ""
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, encoder_hidden_states, image_only_indicator, joint_scale=1.0):
+        outputs = []
+        for i in range(self.num_layers):
+            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+                                       name=f"resnets_{i}")(x, temb, image_only_indicator)
+            x = TransformerSpatioTemporalModel(
+                self.transformer_layers, self.heads, self.out_channels // self.heads,
+                self.cross_attention_dim, joint=self.joint,
+                block_path=f"{self.block_path}.attentions.{i}", lora=self.lora, dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, encoder_hidden_states, image_only_indicator, joint_scale=joint_scale, temb=temb)
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            outputs.append(x)
+        return x, tuple(outputs)
+
+
+class DownBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int = 2
+    add_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, image_only_indicator):
+        outputs = []
+        for i in range(self.num_layers):
+            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+                                       name=f"resnets_{i}")(x, temb, image_only_indicator)
+            outputs.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            outputs.append(x)
+        return x, tuple(outputs)
+
+
+class UNetMidBlockSpatioTemporal(nn.Module):
+    channels: int
+    transformer_layers: int = 1
+    heads: int = 20
+    cross_attention_dim: int = 1024
+    joint: Optional[JointAttentionConfig] = None
+    block_path: str = "mid_block"
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, encoder_hidden_states, image_only_indicator, joint_scale=1.0):
+        x = SpatioTemporalResBlock(self.channels, dtype=self.dtype, name="resnets_0")(
+            x, temb, image_only_indicator)
+        x = TransformerSpatioTemporalModel(
+            self.transformer_layers, self.heads, self.channels // self.heads,
+            self.cross_attention_dim, joint=self.joint, block_path=f"{self.block_path}.attentions.0",
+            lora=self.lora, dtype=self.dtype, name="attentions_0",
+        )(x, encoder_hidden_states, image_only_indicator, joint_scale=joint_scale, temb=temb)
+        x = SpatioTemporalResBlock(self.channels, dtype=self.dtype, name="resnets_1")(
+            x, temb, image_only_indicator)
+        return x
+
+
+class UpBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    add_upsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb, image_only_indicator):
+        for i in range(self.num_layers):
+            res = res_samples[-1]
+            res_samples = res_samples[:-1]
+            x = jnp.concatenate([x, res], axis=-1)
+            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+                                       name=f"resnets_{i}")(x, temb, image_only_indicator)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class CrossAttnUpBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    transformer_layers: int = 1
+    heads: int = 20
+    cross_attention_dim: int = 1024
+    add_upsample: bool = True
+    joint: Optional[JointAttentionConfig] = None
+    block_path: str = ""
+    lora: LoraRouter = EMPTY_ROUTER
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, res_samples, temb, encoder_hidden_states, image_only_indicator,
+                 joint_scale=1.0):
+        for i in range(self.num_layers):
+            res = res_samples[-1]
+            res_samples = res_samples[:-1]
+            x = jnp.concatenate([x, res], axis=-1)
+            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+                                       name=f"resnets_{i}")(x, temb, image_only_indicator)
+            x = TransformerSpatioTemporalModel(
+                self.transformer_layers, self.heads, self.out_channels // self.heads,
+                self.cross_attention_dim, joint=self.joint,
+                block_path=f"{self.block_path}.attentions.{i}", lora=self.lora, dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, encoder_hidden_states, image_only_indicator, joint_scale=joint_scale, temb=temb)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x

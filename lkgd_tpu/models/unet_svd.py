@@ -1,0 +1,173 @@
+"""UNetSpatioTemporalCondition — the LKGD/SVD video denoiser, TPU-native.
+
+Re-implements the reference's centerpiece model
+(`/root/reference/models/unet_spatio_temporal_condition.py:34-693`) and its variants as one
+statically-configured Flax module:
+
+  * base SVD UNet (stock diffusers architecture; reference :72-298)
+  * LKGD latent-knowledge fusion of CLIP/domain/flow features (reference :197-225,536-595)
+    — enabled by ``config.knowledge_fusion``
+  * joint x<->y stream attention (the reference's runtime class-swizzle,
+    `patch/patch.py:719-817`) — ``config.joint``
+  * LoRA adapters folded into projections — ``config.lora`` router
+  * ControlNet residual injection (reference :640-658 and
+    `models/unet_spatio_temporal_condition_controlnet.py:358`) — forward kwargs
+  * flow variant with second zero-alpha conv_in
+    (`models/unet_spatio_temporal_condition_flow.py:495-502`) — ``config.dual_cond_conv_in``
+
+I/O convention (channels-last): ``sample`` is ``(B, T, H, W, C_in)``; returns
+``(B, T, H, W, C_out)``. ``timesteps`` is ``(B,)`` (continuous 0.25*log(sigma) values for
+SVD), ``added_time_ids`` is ``(B, 3)``, ``encoder_hidden_states`` is ``(B, L, D)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lkgd_tpu.models.blocks_svd import (
+    CrossAttnDownBlockSpatioTemporal,
+    CrossAttnUpBlockSpatioTemporal,
+    DownBlockSpatioTemporal,
+    UNetMidBlockSpatioTemporal,
+    UpBlockSpatioTemporal,
+)
+from lkgd_tpu.models.configs import SVDUNetConfig
+from lkgd_tpu.models.layers import GroupNorm, TimestepEmbedding, get_timestep_embedding
+from lkgd_tpu.ops.fusion import LatentKnowledgeFusion
+
+
+class UNetSpatioTemporalCondition(nn.Module):
+    config: SVDUNetConfig = SVDUNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        added_time_ids: jnp.ndarray,
+        domain_features: Optional[jnp.ndarray] = None,
+        flow_features: Optional[jnp.ndarray] = None,
+        down_block_additional_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
+        mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        image_only_indicator: Optional[jnp.ndarray] = None,
+        joint_scale=1.0,
+        cond2: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        batch_size, num_frames = sample.shape[0], sample.shape[1]
+
+        # ---- 1. time + added-time embeddings (reference :480-511)
+        t_emb = get_timestep_embedding(jnp.broadcast_to(jnp.atleast_1d(timesteps), (batch_size,)),
+                                       cfg.block_out_channels[0]).astype(self.dtype)
+        emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
+        add_embeds = get_timestep_embedding(added_time_ids.reshape(-1),
+                                            cfg.addition_time_embed_dim)
+        add_embeds = add_embeds.reshape(batch_size, -1).astype(self.dtype)
+        emb = emb + TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="add_embedding")(add_embeds)
+
+        # ---- 2. latent-knowledge fusion of the cross-attention context (reference :536-595)
+        if cfg.knowledge_fusion:
+            encoder_hidden_states = LatentKnowledgeFusion(
+                ctx_dim=cfg.cross_attention_dim, dtype=self.dtype, name="knowledge_fusion",
+            )(encoder_hidden_states, domain_features, flow_features)
+
+        # ---- 3. flatten frames; per-frame broadcast of emb and context (reference :513-613)
+        sample = sample.reshape((batch_size * num_frames,) + sample.shape[2:]).astype(self.dtype)
+        emb = jnp.repeat(emb, num_frames, axis=0)
+        encoder_hidden_states = jnp.repeat(encoder_hidden_states.astype(self.dtype), num_frames, axis=0)
+
+        # ---- 4. conv_in (+ optional second conditioning head, flow variant)
+        if cfg.dual_cond_conv_in:
+            # input channels: [noise(4) | cond(4) | cond2(4)] (unet_..._flow.py:495-502)
+            noise_cond = sample[..., : cfg.in_channels]
+            h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                        name="conv_in")(noise_cond)
+            if cond2 is None:
+                noise = sample[..., : cfg.in_channels // 2]
+                cond2_flat = sample[..., cfg.in_channels:]
+            else:
+                noise = sample[..., : cfg.in_channels // 2]
+                cond2_flat = cond2.reshape((batch_size * num_frames,) + cond2.shape[2:]).astype(self.dtype)
+            h2 = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                         kernel_init=nn.initializers.zeros, dtype=self.dtype, name="conv_in2")(
+                             jnp.concatenate([noise, cond2_flat], axis=-1))
+            alpha = self.param("conv_in2_alpha", nn.initializers.zeros, (1,))
+            h = h + h2 * alpha.astype(self.dtype)
+            sample = h
+        else:
+            sample = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                             name="conv_in")(sample)
+
+        if image_only_indicator is None:
+            image_only_indicator = jnp.zeros((batch_size, num_frames), dtype=self.dtype)
+
+        # ---- 5. down blocks (reference :620-647)
+        res_samples = (sample,)
+        for i, block_type in enumerate(cfg.down_block_types):
+            if block_type == "CrossAttnDownBlockSpatioTemporal":
+                sample, outs = CrossAttnDownBlockSpatioTemporal(
+                    cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
+                    transformer_layers=cfg.transformer_layers_per_block,
+                    heads=cfg.num_attention_heads[i], cross_attention_dim=cfg.cross_attention_dim,
+                    add_downsample=i < len(cfg.block_out_channels) - 1, joint=cfg.joint,
+                    block_path=f"down_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(sample, emb, encoder_hidden_states, image_only_indicator, joint_scale)
+            elif block_type == "DownBlockSpatioTemporal":
+                sample, outs = DownBlockSpatioTemporal(
+                    cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
+                    add_downsample=i < len(cfg.block_out_channels) - 1, dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(sample, emb, image_only_indicator)
+            else:
+                raise ValueError(block_type)
+            res_samples = res_samples + outs
+
+        if down_block_additional_residuals is not None:
+            res_samples = tuple(
+                r + add.reshape(r.shape).astype(r.dtype)
+                for r, add in zip(res_samples, down_block_additional_residuals)
+            )
+
+        # ---- 6. mid (reference :650-658)
+        sample = UNetMidBlockSpatioTemporal(
+            cfg.block_out_channels[-1], transformer_layers=cfg.transformer_layers_per_block,
+            heads=cfg.num_attention_heads[-1], cross_attention_dim=cfg.cross_attention_dim,
+            joint=cfg.joint, lora=cfg.lora, dtype=self.dtype, name="mid_block",
+        )(sample, emb, encoder_hidden_states, image_only_indicator, joint_scale)
+        if mid_block_additional_residual is not None:
+            sample = sample + mid_block_additional_residual.reshape(sample.shape).astype(sample.dtype)
+
+        # ---- 7. up blocks (reference :662-680)
+        reversed_channels = tuple(reversed(cfg.block_out_channels))
+        reversed_heads = tuple(reversed(cfg.num_attention_heads))
+        for i, block_type in enumerate(cfg.up_block_types):
+            n_layers = cfg.layers_per_block + 1
+            skips, res_samples = res_samples[-n_layers:], res_samples[:-n_layers]
+            add_upsample = i < len(cfg.block_out_channels) - 1
+            if block_type == "CrossAttnUpBlockSpatioTemporal":
+                sample = CrossAttnUpBlockSpatioTemporal(
+                    reversed_channels[i], num_layers=n_layers,
+                    transformer_layers=cfg.transformer_layers_per_block, heads=reversed_heads[i],
+                    cross_attention_dim=cfg.cross_attention_dim, add_upsample=add_upsample,
+                    joint=cfg.joint, block_path=f"up_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )(sample, skips, emb, encoder_hidden_states, image_only_indicator, joint_scale)
+            elif block_type == "UpBlockSpatioTemporal":
+                sample = UpBlockSpatioTemporal(
+                    reversed_channels[i], num_layers=n_layers, add_upsample=add_upsample,
+                    dtype=self.dtype, name=f"up_blocks_{i}",
+                )(sample, skips, emb, image_only_indicator)
+            else:
+                raise ValueError(block_type)
+
+        # ---- 8. out head (reference :682-688)
+        sample = GroupNorm(32, 1e-5, dtype=self.dtype, name="conv_norm_out")(sample)
+        sample = nn.silu(sample)
+        sample = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(sample)
+        return sample.reshape((batch_size, num_frames) + sample.shape[1:])

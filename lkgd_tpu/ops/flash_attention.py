@@ -1,0 +1,116 @@
+"""Pallas TPU flash attention — the spatial-attention hot kernel.
+
+The reference leans on xformers' CUDA memory-efficient attention
+(`/root/reference/train_models/train_svd_lora.py:1121-1133`). On TPU, XLA materializes the
+(S, S) logits for SVD's top-level spatial attention (S = 72*128 = 9216 tokens -> 47 GB at
+576x1024x14f, which OOMs a v5e chip), so this kernel computes attention with online
+softmax over K/V blocks: O(S * block) VMEM, logits never hit HBM.
+
+Non-causal, no mask (video spatial/temporal attention is dense). fp32 accumulators,
+bf16-friendly inputs. Layout: (B, S, H, D) in/out — heads fold into the grid's batch dim.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch, *,
+                  scale: float, n_k_blocks: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+
+    m_prev = m_scratch[...]  # (BQ, 128) lane-replicated
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
+    m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_next)  # (BQ, 128)
+    p = jnp.exp(s - m_next[:, :1])  # (BQ, BK)
+    l_next = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
+
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_scratch[...] = m_next
+    l_scratch[...] = l_next
+
+    @pl.when(j == n_k_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def _pick_block(s: int, preferred=(1024, 512, 256, 128)) -> int:
+    for b in preferred:
+        if s % b == 0:
+            return b
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int
+                ) -> jnp.ndarray:
+    """(BH, S_q, D) x (BH, S_k, D) -> (BH, S_q, D)."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    scale = d**-0.5
+    n_q, n_k = s_q // block_q, s_k // block_k
+
+    kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k)
+    grid = (bh, n_q, n_k)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(q, k, v)
+
+
+def supports(q_shape, k_shape) -> bool:
+    """Whether the kernel handles these (B, S, H, D) shapes."""
+    s_q, s_k, d = q_shape[1], k_shape[1], q_shape[3]
+    return (_pick_block(s_q) > 0 and _pick_block(s_k) > 0 and d % 8 == 0 and d <= 512)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, H, D) softmax attention via the Pallas kernel."""
+    b, s_q, h, d = q.shape
+    s_k = k.shape[1]
+    bq, bk = _pick_block(s_q), _pick_block(s_k)
+    if bq == 0 or bk == 0:
+        raise ValueError(f"unsupported seq lengths {s_q}, {s_k}")
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    out = _flash_bhsd(qt, kt, vt, bq, bk)
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)

@@ -49,14 +49,16 @@ class DepthwiseCompressor(nn.Module):
     pooling over contiguous channel groups (reference unet :197-211)."""
 
     in_dim: int = 1024
+    out_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out_dim = self.in_dim // 4
-        # torch Conv1d weight (out_dim, 4, 1); group o consumes input channels [4o, 4o+4)
-        w = self.param("weight", nn.initializers.lecun_normal(), (out_dim, 4))
-        xg = x.reshape(x.shape[:-1] + (out_dim, 4)).astype(self.dtype)
+        out_dim = self.out_dim or self.in_dim // 4
+        group = self.in_dim // out_dim
+        # torch Conv1d weight (out_dim, group, 1); group o consumes channels [g*o, g*(o+1))
+        w = self.param("weight", nn.initializers.lecun_normal(), (out_dim, group))
+        xg = x.reshape(x.shape[:-1] + (out_dim, group)).astype(self.dtype)
         return jnp.einsum("...og,og->...o", xg, w.astype(self.dtype))
 
 
@@ -69,6 +71,7 @@ class LatentKnowledgeFusion(nn.Module):
     """
 
     ctx_dim: int = 1024
+    knowledge_dim: Optional[int] = None  # interpolation target for MAE features; default ctx_dim
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,17 +80,18 @@ class LatentKnowledgeFusion(nn.Module):
         d = self.ctx_dim // 4  # 256 for SVD's 1024-d CLIP context
         n_bins = d // 2 + 1  # 129 rfft bins
 
-        lconv = DepthwiseCompressor(self.ctx_dim, dtype=self.dtype, name="lconv")
-        dconv = DepthwiseCompressor(1024, dtype=self.dtype, name="dconv")
-        fconv = DepthwiseCompressor(1024, dtype=self.dtype, name="fconv")
+        kdim = self.knowledge_dim or self.ctx_dim
+        lconv = DepthwiseCompressor(self.ctx_dim, out_dim=d, dtype=self.dtype, name="lconv")
+        dconv = DepthwiseCompressor(kdim, out_dim=d, dtype=self.dtype, name="dconv")
+        fconv = DepthwiseCompressor(kdim, out_dim=d, dtype=self.dtype, name="fconv")
 
         lh = lconv(context)  # (B, L, d)
         if domain is None:
-            domain = jnp.zeros(context.shape[:-1] + (1024,), context.dtype)
+            domain = jnp.zeros(context.shape[:-1] + (kdim,), context.dtype)
         if flow is None:
-            flow = jnp.zeros(context.shape[:-1] + (1024,), context.dtype)
-        ld = dconv(interpolate_linear_1d(domain, 1024))
-        lf = fconv(interpolate_linear_1d(flow, 1024))
+            flow = jnp.zeros(context.shape[:-1] + (kdim,), context.dtype)
+        ld = dconv(interpolate_linear_1d(domain, kdim))
+        lf = fconv(interpolate_linear_1d(flow, kdim))
         if ld.shape[0] != lh.shape[0] and ld.shape[0] == 1:
             # CFG-doubled context with un-doubled knowledge features (reference :544-546)
             ld = jnp.concatenate([ld, ld], axis=0)
