@@ -223,7 +223,11 @@ class AlphaBlender(nn.Module):
 
 # --------------------------------------------------------------------------- norms
 class GroupNorm(nn.Module):
-    """GroupNorm over the channel (last) axis, fp32 statistics."""
+    """GroupNorm over the channel (last) axis.
+
+    Statistics are accumulated in fp32 but the normalized tensor stays in the compute
+    dtype — the fp32 temporaries of a naive upcast are several GB at full video
+    resolution (VAE decode at 576x1024 OOMs HBM otherwise)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -231,9 +235,21 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
-                            dtype=jnp.float32, param_dtype=jnp.float32, name="gn")(
-                                x.astype(jnp.float32)).astype(self.dtype)
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        # per (row..., group) fp32 statistics over all non-batch axes of the group
+        xg = x.reshape(x.shape[:1] + (-1, g, c // g))
+        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # (B, g)
+        mean2 = jnp.mean(jax.lax.square(xg.astype(jnp.float32)), axis=(1, 3))
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        mean = mean.reshape(x.shape[:1] + (1,) * (x.ndim - 2) + (g, 1))
+        inv = inv.reshape(mean.shape)
+        xn = (x.reshape(x.shape[:-1] + (g, c // g)) - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        xn = xn.reshape(x.shape)
+        return (xn * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
 
 
 class LayerNorm(nn.Module):
@@ -244,9 +260,9 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # flax accumulates LN statistics in fp32 internally; keep tensors in compute dtype
         return nn.LayerNorm(epsilon=self.epsilon, use_scale=self.use_scale, use_bias=self.use_bias,
-                            dtype=jnp.float32, param_dtype=jnp.float32, name="ln")(
-                                x.astype(jnp.float32)).astype(self.dtype)
+                            dtype=self.dtype, param_dtype=jnp.float32, name="ln")(x)
 
 
 class AdaLayerNormContinuous(nn.Module):

@@ -65,6 +65,31 @@ def _pick_block(s: int, preferred=(1024, 512, 256, 128)) -> int:
     return 0
 
 
+def _vmem_bytes(bq: int, bk: int, d: int) -> int:
+    """Rough VMEM footprint: double-buffered q/k/v/o blocks (bf16) + m/l/acc scratch +
+    fp32 logits/probs intermediates."""
+    io = 2 * (bq * d + 2 * bk * d) * 2 + 2 * bq * d * 2
+    scratch = bq * 128 * 4 * 2 + bq * d * 4
+    inter = 2 * bq * bk * 4
+    return io + scratch + inter
+
+
+_VMEM_LIMIT = 12 * 1024 * 1024
+
+
+def _pick_blocks(s_q: int, s_k: int, d: int):
+    """Largest (block_q, block_k) dividing the sequence lengths that fits VMEM."""
+    for bq in (1024, 512, 256, 128):
+        if s_q % bq:
+            continue
+        for bk in (1024, 512, 256, 128):
+            if s_k % bk:
+                continue
+            if _vmem_bytes(bq, bk, d) <= _VMEM_LIMIT:
+                return bq, bk
+    return 0, 0
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int
                 ) -> jnp.ndarray:
@@ -99,16 +124,19 @@ def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, bl
 def supports(q_shape, k_shape) -> bool:
     """Whether the kernel handles these (B, S, H, D) shapes."""
     s_q, s_k, d = q_shape[1], k_shape[1], q_shape[3]
-    return (_pick_block(s_q) > 0 and _pick_block(s_k) > 0 and d % 8 == 0 and d <= 512)
+    if d % 8 != 0 or d > 512:
+        return False
+    bq, bk = _pick_blocks(s_q, s_k, d)
+    return bq > 0
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """(B, S, H, D) softmax attention via the Pallas kernel."""
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
-    bq, bk = _pick_block(s_q), _pick_block(s_k)
+    bq, bk = _pick_blocks(s_q, s_k, d)
     if bq == 0 or bk == 0:
-        raise ValueError(f"unsupported seq lengths {s_q}, {s_k}")
+        raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)

@@ -89,11 +89,16 @@ class StableVideoDiffusionPipeline:
     def init_params(self, rng: jax.Array, batch_size: int = 1) -> dict:
         cfg = self.config
         r1, r2, r3 = jax.random.split(rng, 3)
-        sample = jnp.zeros((2 * batch_size, cfg.num_frames, self.latent_height, self.latent_width,
+        rows = 2 * batch_size
+        if self.unet.config.joint is not None:
+            # batch must be a multiple of the joint stream count to trace
+            s = len(self.unet.config.joint.mask)
+            rows = max(rows, s) // s * s
+        sample = jnp.zeros((rows, cfg.num_frames, self.latent_height, self.latent_width,
                             self.unet.config.in_channels), self.dtype)
-        ehs = jnp.zeros((2 * batch_size, 1, self.unet.config.cross_attention_dim), self.dtype)
-        unet_params = self.unet.init(r1, sample, jnp.zeros((2 * batch_size,)), ehs,
-                                     jnp.zeros((2 * batch_size, 3)))
+        ehs = jnp.zeros((rows, 1, self.unet.config.cross_attention_dim), self.dtype)
+        unet_params = self.unet.init(r1, sample, jnp.zeros((rows,)), ehs,
+                                     jnp.zeros((rows, 3)))
         vae_params = self.vae.init(r2, jnp.zeros((1, cfg.height, cfg.width, 3), self.dtype),
                                    num_frames=1)
         clip_params = self.image_encoder.init(

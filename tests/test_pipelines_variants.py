@@ -1,0 +1,129 @@
+"""Trans / smooth / controlnet / flow pipeline variants — tiny end-to-end runs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lkgd_tpu.models.clip_vision import CLIPVisionConfig
+from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, LoraRule, SVDUNetConfig
+from lkgd_tpu.models.vae_temporal import TemporalVAEConfig
+from lkgd_tpu.pipelines.svd import SVDPipelineConfig
+from lkgd_tpu.pipelines.svd_controlnet import StableVideoDiffusionControlNetPipeline
+from lkgd_tpu.pipelines.svd_flow import (
+    StableVideoDiffusionFlowPipeline, StableVideoDiffusionJointVFPipeline)
+from lkgd_tpu.pipelines.svd_smooth import StableVideoDiffusionSmoothPipeline
+from lkgd_tpu.pipelines.svd_trans import StableVideoDiffusionTransPipeline
+
+JOINT_UNET = SVDUNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
+    up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
+    layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=32,
+    joint=JointAttentionConfig(post="conv", flip=True, mask=(0, 1, 0, 1), spatial=True,
+                               temporal=True),
+    lora=LoraRouter(rules=(
+        LoraRule(pattern="*attn1n*", name="yx", rank=2, streams=(0, 1, 0, 1)),
+        LoraRule(pattern="*temporal*attn1.*", name="xy", rank=2, streams=(1, 0, 1, 0)),
+    )))
+PLAIN_UNET = SVDUNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
+    up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
+    layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=32)
+KW = dict(vae_config=TemporalVAEConfig(block_out_channels=(32, 64, 64), layers_per_block=1),
+          clip_config=CLIPVisionConfig.tiny(), dtype=jnp.float32)
+PCFG = SVDPipelineConfig(height=64, width=64, num_frames=4, num_inference_steps=2,
+                         decode_chunk_size=2)
+
+rng_img = np.random.default_rng(0)
+
+
+def test_trans_pipeline():
+    pipe = StableVideoDiffusionTransPipeline(config=PCFG, unet_config=JOINT_UNET, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    s = rng_img.uniform(size=(64, 64, 3)).astype(np.float32)
+    e = rng_img.uniform(size=(64, 64, 3)).astype(np.float32)
+    frames = pipe(params, s, e)
+    assert frames.shape == (2, 4, 64, 64, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_smooth_pipeline():
+    cfg = SVDPipelineConfig(height=64, width=64, num_frames=4, num_inference_steps=4,
+                            decode_chunk_size=2)
+    pipe = StableVideoDiffusionSmoothPipeline(config=cfg, unet_config=JOINT_UNET,
+                                              start_step=1, total_frames=10, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    video = rng_img.uniform(size=(10, 64, 64, 3)).astype(np.float32)
+    out = pipe(params, video)
+    assert out.shape == (1, 10, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_controlnet_pipeline_and_reverse():
+    from lkgd_tpu.models.controlnet_svd import ControlNetSDVConfig
+
+    # tiny VAE downsamples by 4 -> embedder needs 2 stride-2 convs (3 channel entries)
+    cn_cfg = ControlNetSDVConfig(unet=PLAIN_UNET,
+                                 conditioning_embedding_out_channels=(16, 32, 96))
+    pipe = StableVideoDiffusionControlNetPipeline(config=PCFG, unet_config=PLAIN_UNET,
+                                                  controlnet_config=cn_cfg, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    img = rng_img.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    ctrl = rng_img.uniform(size=(4, 64, 64, 3)).astype(np.float32)
+    out = pipe(params, img, control=ctrl)
+    assert out.shape == (1, 4, 64, 64, 3)
+
+    # zero-init controlnet heads: control input must not change the output at init
+    out_nc = pipe(params, img)
+    np.testing.assert_allclose(out, out_nc, atol=1e-5)
+
+    rev = StableVideoDiffusionControlNetPipeline(config=PCFG, unet_config=PLAIN_UNET,
+                                                 controlnet_config=cn_cfg,
+                                                 reverse_time=True, **KW)
+    out_r = rev(params, img, control=ctrl)
+    assert out_r.shape == (1, 4, 64, 64, 3)
+
+
+def test_flow_pipelines():
+    pipe = StableVideoDiffusionFlowPipeline(config=PCFG, unet_config=PLAIN_UNET, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    img = rng_img.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    flow_img = rng_img.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    out = pipe(params, img, flow_cond=flow_img)
+    assert out.shape == (1, 4, 64, 64, 3)
+
+    import dataclasses
+    fix_unet = dataclasses.replace(PLAIN_UNET, in_channels=12, dual_cond_conv_in=True)
+    pipe_fix = StableVideoDiffusionFlowPipeline(config=PCFG, unet_config=fix_unet,
+                                                mode="flow_fix", **KW)
+    params_fix = pipe_fix.init_params(jax.random.PRNGKey(0))
+    out_fix = pipe_fix(params_fix, img, flow_cond=flow_img)
+    assert out_fix.shape == (1, 4, 64, 64, 3)
+
+
+def test_joint_vf_pipeline():
+    pipe = StableVideoDiffusionJointVFPipeline(config=PCFG, unet_config=JOINT_UNET, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    img = rng_img.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    frames, flows = pipe(params, img)
+    assert frames.shape == (1, 4, 64, 64, 3)
+    assert flows.shape == (1, 4, 64, 64, 3)
+
+
+def test_flow_codec_roundtrip():
+    from lkgd_tpu.utils.flow_codec import (
+        flow_latent_normalize, flow_latent_unnormalize, flow_to_image_naive,
+        image_to_flow_naive, flow_expand_polar, flow_squeeze_polar)
+    x = jnp.asarray(rng_img.normal(size=(2, 3, 4, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(flow_latent_unnormalize(flow_latent_normalize(x))), np.asarray(x),
+        rtol=1e-5, atol=1e-5)
+    flow = jnp.asarray(rng_img.uniform(-20, 20, size=(4, 4, 2)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(image_to_flow_naive(flow_to_image_naive(flow))), np.asarray(flow),
+        rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(flow_squeeze_polar(flow_expand_polar(flow))), np.asarray(flow),
+        rtol=1e-4, atol=1e-4)

@@ -165,3 +165,21 @@ class TestVariants:
         sample2 = sample.at[..., 8:].add(5.0)
         out2 = model.apply(params, sample2, *args[1:])
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+class TestGroupNorm:
+    def test_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from lkgd_tpu.models.layers import GroupNorm
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(3, 8, 8, 64)).astype(np.float32) * 3 + 1
+        m = GroupNorm(32, 1e-5)
+        p = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        p = jax.tree.map(lambda v: v + 0.3, p)
+        got = np.asarray(m.apply(p, jnp.asarray(x)))
+        gn = torch.nn.GroupNorm(32, 64, eps=1e-5)
+        with torch.no_grad():
+            gn.weight.fill_(1.3)
+            gn.bias.fill_(0.3)
+            want = gn(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, atol=5e-6)
