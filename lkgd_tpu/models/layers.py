@@ -239,30 +239,23 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        # per (row..., group) fp32 statistics over all non-batch axes of the group
+        # two-pass per (sample, group) statistics: fp32 *reductions* over compute-dtype
+        # tensors — no full-size fp32 temporaries (those OOM HBM at video resolution)
         xg = x.reshape(x.shape[:1] + (-1, g, c // g))
-        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # (B, g)
-        mean2 = jnp.mean(jax.lax.square(xg.astype(jnp.float32)), axis=(1, 3))
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        mean = mean.reshape(x.shape[:1] + (1,) * (x.ndim - 2) + (g, 1))
-        inv = inv.reshape(mean.shape)
-        xn = (x.reshape(x.shape[:-1] + (g, c // g)) - mean.astype(x.dtype)) * inv.astype(x.dtype)
-        xn = xn.reshape(x.shape)
+        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32, keepdims=True)  # (B,1,g,1) f32
+        xc = xg - mean.astype(x.dtype)
+        var = jnp.mean(jax.lax.square(xc), axis=(1, 3), dtype=jnp.float32, keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        xn = (xc * inv).reshape(x.shape)
         return (xn * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
 
 
-class LayerNorm(nn.Module):
-    epsilon: float = 1e-5
-    use_scale: bool = True
-    use_bias: bool = True
-    dtype: jnp.dtype = jnp.float32
+class LayerNorm(nn.LayerNorm):
+    """nn.LayerNorm with torch-compatible defaults (eps 1e-5, fp32 params). Params live
+    directly at <name>/scale|bias so ported diffusers norms map 1:1."""
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # flax accumulates LN statistics in fp32 internally; keep tensors in compute dtype
-        return nn.LayerNorm(epsilon=self.epsilon, use_scale=self.use_scale, use_bias=self.use_bias,
-                            dtype=self.dtype, param_dtype=jnp.float32, name="ln")(x)
+    epsilon: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
 
 
 class AdaLayerNormContinuous(nn.Module):

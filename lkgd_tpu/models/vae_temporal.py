@@ -6,6 +6,10 @@ image encoder producing per-frame latents, plus a *temporal* decoder whose resbl
 (3,1,1) temporal convs and whose output head applies a final temporal conv, giving
 temporally-consistent RGB reconstruction.
 
+Module names mirror the diffusers checkpoint layout (down_blocks_i/resnets_j,
+mid_block/attentions_0, spatial_res_block/temporal_res_block/time_mixer, ...) so the weight
+porter (utils/porting.py) maps tensors 1:1.
+
 Channels-last: encode (B*T, H, W, 3) -> (B*T, h, w, 4); decode (B*T, h, w, 4) -> RGB.
 ``num_frames`` is static. scaling_factor = 0.18215 (SVD checkpoint).
 """
@@ -53,10 +57,29 @@ class VAEResnetBlock(nn.Module):
         return x + h
 
 
+class VAETemporalPart(nn.Module):
+    """The temporal half of a decoder resblock: (3,1,1) convs over frames, eps=1e-5
+    (diffusers TemporalResnetBlock without temb). Input (B, T, HW, C)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        t = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x)
+        t = nn.silu(t)
+        t = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
+                    name="conv1")(t)
+        t = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(t)
+        t = nn.silu(t)
+        t = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
+                    name="conv2")(t)
+        return x + t
+
+
 class VAETemporalResnetBlock(nn.Module):
-    """Spatial + (3,1,1)-temporal resblock pair with a learned blender, no temb
-    (diffusers SpatioTemporalResBlock as used by TemporalDecoder: merge_strategy="learned",
-    merge_factor=0.0). Input (B*T, H, W, C); num_frames static."""
+    """Spatial + temporal resblock pair with a learned blender (diffusers
+    SpatioTemporalResBlock: merge_strategy="learned", merge_factor=0.0, temb=None)."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
@@ -67,18 +90,7 @@ class VAETemporalResnetBlock(nn.Module):
         bf, H, W, C = h.shape
         b = bf // num_frames
         h_t = h.reshape(b, num_frames, H * W, C)
-
-        # temporal resblock (eps=1e-5 per diffusers temporal_eps)
-        t = GroupNorm(32, 1e-5, dtype=self.dtype, name="tnorm1")(h_t)
-        t = nn.silu(t)
-        t = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
-                    name="tconv1")(t)
-        t = GroupNorm(32, 1e-5, dtype=self.dtype, name="tnorm2")(t)
-        t = nn.silu(t)
-        t = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
-                    name="tconv2")(t)
-        t = h_t + t
-
+        t = VAETemporalPart(self.out_channels, dtype=self.dtype, name="temporal_res_block")(h_t)
         # merge_strategy="learned": alpha = sigmoid(mix), ignores image_only_indicator
         mix = self.param("mix_factor", nn.initializers.zeros, (1,))
         alpha = jax.nn.sigmoid(mix)[0].astype(h_t.dtype)
@@ -104,6 +116,24 @@ class VAEAttention(nn.Module):
         return x + o.reshape(bf, H, W, C)
 
 
+class DownEncoderBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for j in range(self.num_layers):
+            x = VAEResnetBlock(self.out_channels, dtype=self.dtype, name=f"resnets_{j}")(x)
+        if self.add_downsample:
+            # diffusers encoder downsample: pad (0,1,0,1) then 3x3 stride-2, no padding
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+                        dtype=self.dtype, name="downsamplers_0")(x)
+        return x
+
+
 class Encoder(nn.Module):
     """SD VAE encoder (diffusers ``Encoder``)."""
 
@@ -116,17 +146,13 @@ class Encoder(nn.Module):
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(x)
         for i, ch in enumerate(cfg.block_out_channels):
-            for j in range(cfg.layers_per_block):
-                h = VAEResnetBlock(ch, dtype=self.dtype, name=f"down_{i}_resnet_{j}")(h)
-            if i < len(cfg.block_out_channels) - 1:
-                # diffusers encoder downsample: pad (0,1,0,1) then 3x3 stride-2, no padding
-                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
-                            name=f"down_{i}_downsample")(h)
+            h = DownEncoderBlock(ch, cfg.layers_per_block,
+                                 add_downsample=i < len(cfg.block_out_channels) - 1,
+                                 dtype=self.dtype, name=f"down_blocks_{i}")(h)
         ch = cfg.block_out_channels[-1]
-        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_resnet_0")(h)
-        h = VAEAttention(ch, dtype=self.dtype, name="mid_attn")(h)
-        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_resnets_0")(h)
+        h = VAEAttention(ch, dtype=self.dtype, name="mid_block_attentions_0")(h)
+        h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_resnets_1")(h)
         h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -145,19 +171,21 @@ class TemporalDecoder(nn.Module):
         chs = cfg.block_out_channels
         h = nn.Conv(chs[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
 
-        # mid: resnet, attention, resnet
-        h = VAETemporalResnetBlock(chs[-1], dtype=self.dtype, name="mid_resnet_0")(h, num_frames)
-        h = VAEAttention(chs[-1], dtype=self.dtype, name="mid_attn")(h)
-        h = VAETemporalResnetBlock(chs[-1], dtype=self.dtype, name="mid_resnet_1")(h, num_frames)
+        h = VAETemporalResnetBlock(chs[-1], dtype=self.dtype,
+                                   name="mid_block_resnets_0")(h, num_frames)
+        h = VAEAttention(chs[-1], dtype=self.dtype, name="mid_block_attentions_0")(h)
+        h = VAETemporalResnetBlock(chs[-1], dtype=self.dtype,
+                                   name="mid_block_resnets_1")(h, num_frames)
 
         for i, ch in enumerate(reversed(chs)):
             for j in range(cfg.layers_per_block + 1):
                 h = VAETemporalResnetBlock(ch, dtype=self.dtype,
-                                           name=f"up_{i}_resnet_{j}")(h, num_frames)
+                                           name=f"up_blocks_{i}_resnets_{j}")(h, num_frames)
             if i < len(chs) - 1:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_blocks_{i}_upsamplers_0")(h)
 
         h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)

@@ -1,0 +1,249 @@
+"""Torch/diffusers checkpoint -> Flax param porting.
+
+The reference loads HF checkpoints directly (`from_pretrained` everywhere, plus raw
+state-dict surgery at `utils/util.py:585-593` and LoRA loads at :569-573). This module is
+the TPU-side equivalent: rule-based key rewriting from torch naming to our param paths,
+with shape-driven tensor transforms (linear transpose, conv OIHW->HWIO, temporal conv3d
+(O,I,3,1,1)->(3,1,I,O), depthwise conv1d squeeze) and a strict coverage check — every
+template leaf must be produced exactly once, every consumed torch key reported, making the
+porter its own audit (SURVEY.md §7 "weight porting fidelity").
+
+Entry points: ``port_state_dict(state_dict, template, prefix_map)`` plus model-specific
+wrappers ``port_svd_unet`` / ``port_temporal_vae`` / ``port_clip_vision`` and the inverse
+``export_state_dict`` (used by tests for bijective round-trips and by checkpoint export
+for diffusers interop).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+# module-list containers whose numeric children are flattened with '_' on our side
+_LIST_RE = re.compile(
+    r"\b(down_blocks|up_blocks|resnets|attentions|transformer_blocks|"
+    r"temporal_transformer_blocks|downsamplers|upsamplers|blocks|controlnet_down_blocks|"
+    r"layers)\.(\d+)")
+
+
+def _flatten_lists(key: str) -> str:
+    prev = None
+    while prev != key:
+        prev = key
+        key = _LIST_RE.sub(lambda m: f"{m.group(1)}_{m.group(2)}", key)
+    return key
+
+
+def torch_key_to_path(key: str) -> Tuple[str, ...]:
+    """Translate a diffusers/torch parameter name into our flax param path."""
+    k = _flatten_lists(key)
+    k = k.replace("to_out.0", "to_out")
+    k = k.replace("ff.net.0.proj", "ff.net_0.proj")
+    k = k.replace("ff.net.2", "ff.net_2")
+    k = k.replace("ff_in.net.0.proj", "ff_in.net_0.proj")
+    k = k.replace("ff_in.net.2", "ff_in.net_2")
+    # attn1n & post-joint live under our "joint" submodule
+    k = re.sub(r"\b(attn1n|conv1n|scale1n|norm1n)\b", r"joint.\1", k)
+    parts = k.split(".")
+    leaf = parts[-1]
+    if leaf == "weight":
+        parent = parts[-2] if len(parts) > 1 else ""
+        if "norm" in parent or parent in ("group_norm",):
+            leaf = "scale"
+        elif parent in ("lconv", "dconv", "fconv"):
+            leaf = "weight"  # depthwise compressors keep torch-style 'weight'
+        else:
+            leaf = "kernel"
+    parts[-1] = leaf
+    return tuple(parts)
+
+
+def _fit_tensor(x: np.ndarray, target_shape: Tuple[int, ...],
+                is_kernel: bool = False) -> Optional[np.ndarray]:
+    """Find the canonical torch->flax layout transform matching the target shape.
+
+    ``is_kernel``: the target is a Dense/Conv kernel — torch layout ALWAYS transposes
+    even when square (shape alone cannot disambiguate)."""
+    x = np.asarray(x)
+    if is_kernel and x.ndim == 2:
+        return x.T if x.T.shape == tuple(target_shape) else None
+    if is_kernel and x.ndim == 4:
+        t = x.transpose(2, 3, 1, 0)
+        return t if t.shape == tuple(target_shape) else None
+    if x.shape == tuple(target_shape):
+        return x
+    if x.ndim == 2 and x.T.shape == tuple(target_shape):
+        return x.T  # torch Linear (out, in) -> (in, out)
+    if x.ndim == 4 and x.transpose(2, 3, 1, 0).shape == tuple(target_shape):
+        return x.transpose(2, 3, 1, 0)  # Conv2d OIHW -> HWIO
+    if x.ndim == 5 and x.shape[3:] == (1, 1):
+        t = x[:, :, :, 0, 0].transpose(2, 1, 0)[:, None]  # Conv3d (O,I,3,1,1) -> (3,1,I,O)
+        if t.shape == tuple(target_shape):
+            return t
+    if x.ndim == 3 and x.shape[-1] == 1:
+        t = x[:, :, 0]  # Conv1d (O, G, 1) -> depthwise compressor (O, G)
+        if t.shape == tuple(target_shape):
+            return t
+        if t.T.shape == tuple(target_shape):
+            return t.T
+    if x.ndim == 1 and tuple(target_shape) == x.shape:
+        return x
+    # torch LoRA A: (r, in) -> (in, r); B: (out, r) -> (r, out) — both 2D transposes
+    return None
+
+
+def _template_leaves(template) -> Dict[Tuple[str, ...], Tuple[Tuple[int, ...], np.dtype]]:
+    flat = jax.tree_util.tree_flatten_with_path(template)[0]
+    out = {}
+    for path, leaf in flat:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        out[keys] = (tuple(leaf.shape), leaf.dtype)
+    return out
+
+
+def port_state_dict(state_dict: Dict[str, np.ndarray], template,
+                    key_map: Optional[Callable[[str], Optional[str]]] = None,
+                    strict: bool = True):
+    """Build a params pytree shaped like ``template`` from a torch state dict.
+
+    ``key_map``: optional pre-translation hook (rename/drop torch keys; return None to
+    skip a key). Raises on unmatched template leaves or unconsumed torch keys if strict.
+    """
+    leaves = _template_leaves(template)
+    produced: Dict[Tuple[str, ...], np.ndarray] = {}
+    unused = []
+    for key, tensor in state_dict.items():
+        mapped = key_map(key) if key_map else key
+        if mapped is None:
+            continue
+        path = ("params",) + torch_key_to_path(mapped)
+        if path not in leaves:
+            unused.append(key)
+            continue
+        fitted = _fit_tensor(np.asarray(tensor), leaves[path][0], is_kernel=(path[-1] == "kernel"))
+        if fitted is None:
+            raise ValueError(f"{key}: cannot fit shape {np.shape(tensor)} into "
+                             f"{leaves[path][0]} at {'/'.join(path)}")
+        produced[path] = fitted.astype(leaves[path][1])
+
+    missing = [p for p in leaves if p not in produced]
+    if strict and (missing or unused):
+        msg = []
+        if missing:
+            msg.append(f"missing {len(missing)} params, e.g. " +
+                       ", ".join("/".join(p) for p in missing[:5]))
+        if unused:
+            msg.append(f"unused {len(unused)} torch keys, e.g. " + ", ".join(unused[:5]))
+        raise ValueError("; ".join(msg))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in flat:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        new_leaves.append(produced.get(keys, np.asarray(leaf)))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def export_state_dict(params, key_map: Optional[Callable[[str], str]] = None
+                      ) -> Dict[str, np.ndarray]:
+    """Inverse of port_state_dict: our params -> torch-layout state dict (diffusers
+    naming), for checkpoint interop (reference exports LoRA safetensors in diffusers
+    layout, `train_svd_lora.py:1736-1747`)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        x = np.asarray(leaf)
+        leafname = keys[-1]
+        if leafname == "kernel":
+            if x.ndim == 2:
+                x = x.T
+            elif x.ndim == 4 and x.shape[1] == 1 and x.shape[0] != x.shape[1]:
+                # ambiguous (3,1,I,O) temporal conv vs true 1-width spatial conv; treat
+                # (k,1,I,O) with k in (1,3) as temporal -> (O,I,k,1,1)
+                x = x.transpose(3, 2, 0, 1)[..., None]
+            elif x.ndim == 4:
+                x = x.transpose(3, 2, 0, 1)
+            keys[-1] = "weight"
+        elif leafname == "scale":
+            keys[-1] = "weight"
+        name = ".".join(keys)
+        # restore torch list naming and to_out.0 / ff.net indices
+        name = re.sub(
+            r"\b(down_blocks|up_blocks|resnets|attentions|transformer_blocks|"
+            r"temporal_transformer_blocks|downsamplers|upsamplers|blocks|"
+            r"controlnet_down_blocks|layers)_(\d+)", r"\1.\2", name)
+        name = name.replace("joint.", "")
+        name = re.sub(r"\bto_out\b", "to_out.0", name)
+        name = name.replace("ff.net_0.proj", "ff.net.0.proj").replace("ff.net_2", "ff.net.2")
+        name = name.replace("ff_in.net_0.proj", "ff_in.net.0.proj").replace("ff_in.net_2", "ff_in.net.2")
+        if key_map:
+            name = key_map(name)
+        out[name] = x
+    return out
+
+
+# ---------------------------------------------------------------- model-specific wrappers
+def svd_unet_key_map(key: str) -> Optional[str]:
+    """diffusers UNetSpatioTemporalConditionModel + LKGD additions -> our paths."""
+    # LKGD quaternion fusion modules (reference unet :197-225)
+    if key.startswith("quaternion_lora_"):
+        name = key[len("quaternion_lora_"):]
+        name = name.replace("fuse_sf.0", "fuse_sf_0").replace("fuse_sf.2", "fuse_sf_2")
+        return f"knowledge_fusion.{name}"
+    return key
+
+
+def port_svd_unet(state_dict, template, strict: bool = True):
+    return port_state_dict(state_dict, template, key_map=svd_unet_key_map, strict=strict)
+
+
+def vae_key_map(key: str) -> Optional[str]:
+    """diffusers AutoencoderKLTemporalDecoder -> our paths."""
+    k = key
+    k = k.replace("mid_block.resnets.", "mid_block_resnets_")
+    k = k.replace("mid_block.attentions.", "mid_block_attentions_")
+    k = re.sub(r"up_blocks\.(\d+)\.resnets\.(\d+)", r"up_blocks_\1_resnets_\2", k)
+    k = re.sub(r"up_blocks\.(\d+)\.upsamplers\.0\.conv", r"up_blocks_\1_upsamplers_0", k)
+    k = re.sub(r"down_blocks\.(\d+)\.downsamplers\.0\.conv", r"down_blocks.\1.downsamplers_0", k)
+    return k
+
+
+def port_temporal_vae(state_dict, template, strict: bool = True):
+    return port_state_dict(state_dict, template, key_map=vae_key_map, strict=strict)
+
+
+def clip_key_map(key: str) -> Optional[str]:
+    """transformers CLIPVisionModelWithProjection -> our paths."""
+    k = key
+    if k.startswith("vision_model."):
+        k = k[len("vision_model."):]
+    k = k.replace("encoder.layers.", "layers.")
+    k = k.replace("embeddings.", "")
+    k = k.replace("self_attn.", "").replace("mlp.", "")
+    if k == "class_embedding":
+        return "class_embedding"
+    if k == "position_embedding.weight":
+        return "position_embedding"
+    if k == "patch_embedding.weight":
+        return "patch_embedding.weight"
+    return k
+
+
+def port_clip_vision(state_dict, template, strict: bool = True):
+    return port_state_dict(state_dict, template, key_map=clip_key_map, strict=strict)
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
