@@ -47,7 +47,7 @@ def main():
     else:
         pipe = StableVideoDiffusionPipeline(
             config=SVDPipelineConfig(height=576, width=1024, num_frames=14,
-                                     num_inference_steps=25, decode_chunk_size=7),
+                                     num_inference_steps=25, decode_chunk_size=2),
             unet_config=SVDUNetConfig(num_frames=14),
             dtype=jnp.bfloat16,
         )

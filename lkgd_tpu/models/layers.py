@@ -242,9 +242,13 @@ class GroupNorm(nn.Module):
         # two-pass per (sample, group) statistics: fp32 *reductions* over compute-dtype
         # tensors — no full-size fp32 temporaries (those OOM HBM at video resolution)
         xg = x.reshape(x.shape[:1] + (-1, g, c // g))
+        n_elem = xg.shape[1] * xg.shape[3]
         mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32, keepdims=True)  # (B,1,g,1) f32
         xc = xg - mean.astype(x.dtype)
-        var = jnp.mean(jax.lax.square(xc), axis=(1, 3), dtype=jnp.float32, keepdims=True)
+        # sum-of-squares as an MXU contraction: bf16 inputs, fp32 accumulation, no
+        # materialized fp32 temporary (a plain mean(square()) OOMs HBM at video res)
+        sumsq = jnp.einsum("bngk,bngk->bg", xc, xc, preferred_element_type=jnp.float32)
+        var = (sumsq / n_elem)[:, None, :, None]
         inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
         xn = (xc * inv).reshape(x.shape)
         return (xn * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)

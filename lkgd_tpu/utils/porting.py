@@ -147,17 +147,21 @@ def port_state_dict(state_dict: Dict[str, np.ndarray], template,
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def export_state_dict(params, key_map: Optional[Callable[[str], str]] = None
+def export_state_dict(params, key_map: Optional[Callable[[str], str]] = None,
+                      path_predicate: Optional[Callable[[str], bool]] = None
                       ) -> Dict[str, np.ndarray]:
     """Inverse of port_state_dict: our params -> torch-layout state dict (diffusers
     naming), for checkpoint interop (reference exports LoRA safetensors in diffusers
-    layout, `train_svd_lora.py:1736-1747`)."""
+    layout, `train_svd_lora.py:1736-1747`). ``path_predicate`` filters by '/'-joined
+    flax param path (e.g. export only adapters)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for path, leaf in flat:
         keys = [str(getattr(p, "key", p)) for p in path]
         if keys and keys[0] == "params":
             keys = keys[1:]
+        if path_predicate is not None and not path_predicate("/".join(keys)):
+            continue
         x = np.asarray(leaf)
         leafname = keys[-1]
         if leafname == "kernel":
