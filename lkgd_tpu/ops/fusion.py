@@ -72,12 +72,15 @@ class LatentKnowledgeFusion(nn.Module):
 
     ctx_dim: int = 1024
     knowledge_dim: Optional[int] = None  # interpolation target for MAE features; default ctx_dim
+    compress_dim: Optional[int] = None  # d; default ctx_dim // 4 (SVD 256; CogVideoX fixes 256)
+    sf_hidden: Optional[int] = None  # recombine MLP hidden; default d (CogVideoX uses 512)
+    zero_init_output: bool = False  # CogVideoX zero-inits the last recombine linear
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, context: jnp.ndarray, domain: Optional[jnp.ndarray] = None,
                  flow: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        d = self.ctx_dim // 4  # 256 for SVD's 1024-d CLIP context
+        d = self.compress_dim or self.ctx_dim // 4  # 256 for SVD's 1024-d CLIP context
         n_bins = d // 2 + 1  # 129 rfft bins
 
         kdim = self.knowledge_dim or self.ctx_dim
@@ -92,6 +95,11 @@ class LatentKnowledgeFusion(nn.Module):
             flow = jnp.zeros(context.shape[:-1] + (kdim,), context.dtype)
         ld = dconv(interpolate_linear_1d(domain, kdim))
         lf = fconv(interpolate_linear_1d(flow, kdim))
+        if ld.shape[1] != lh.shape[1] and ld.shape[1] == 1:
+            # broadcast single knowledge token over all context tokens (CogVideoX T5 ctx,
+            # reference cogvideox_transformer_3d.py:527-529)
+            ld = jnp.broadcast_to(ld, lh.shape)
+            lf = jnp.broadcast_to(lf, lh.shape)
         if ld.shape[0] != lh.shape[0] and ld.shape[0] == 1:
             # CFG-doubled context with un-doubled knowledge features (reference :544-546)
             ld = jnp.concatenate([ld, ld], axis=0)
@@ -137,6 +145,9 @@ class LatentKnowledgeFusion(nn.Module):
 
         # --- recombine (reference :219-222,595)
         h = jnp.concatenate([spatial, spectral], axis=-1)  # (B, L, 4d)
-        h = nn.Dense(d, dtype=self.dtype, name="fuse_sf_0")(h)
+        h = nn.Dense(self.sf_hidden or d, dtype=self.dtype, name="fuse_sf_0")(h)
         h = nn.leaky_relu(h, negative_slope=0.1)
-        return nn.Dense(self.ctx_dim, dtype=self.dtype, name="fuse_sf_2")(h)
+        out_init = nn.initializers.zeros if self.zero_init_output else (
+            nn.initializers.lecun_normal())
+        return nn.Dense(self.ctx_dim, dtype=self.dtype, kernel_init=out_init,
+                        name="fuse_sf_2")(h)

@@ -1,0 +1,182 @@
+"""CogVideoX image-to-video pipeline with latent-knowledge conditioning.
+
+Re-designs the reference's modified CogVideoXImageToVideoPipeline
+(`/root/reference/CogVideo-main/finetune/models/cogvideox_i2v/pipeline_cogvideox_image2video.py`):
+T5 text conditioning (fused with domain/flow MAE features inside the transformer), the
+first-frame VAE latent broadcast as a channel-concatenated condition (zeros on later
+frames), CFG doubling with optional dynamic guidance, and a DDIM ``lax.scan`` loop.
+
+The pipeline operates at the latent level; VAE encode/decode hooks take the CogVideoX
+causal-3D VAE (models/vae_cogvideox.py) when provided, otherwise callers supply latents
+directly (the reference trainer precomputes latents the same way —
+`finetune/datasets/i2v_dataset.py:102-124`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+from lkgd_tpu.schedulers.cogvideox_ddim import CogVideoXDDIMConfig, CogVideoXDDIMScheduler
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXPipelineConfig:
+    height: int = 480
+    width: int = 720
+    num_frames: int = 49  # pixel frames
+    num_inference_steps: int = 50
+    guidance_scale: float = 6.0
+    use_dynamic_cfg: bool = True
+    vae_scale_factor_spatial: int = 8
+    vae_scaling_factor: float = 0.7  # CogVideoX latent scaling (1/1.15258426 ~ invstd)
+
+    @property
+    def latent_frames(self) -> int:
+        return (self.num_frames - 1) // 4 + 1
+
+    @property
+    def latent_height(self) -> int:
+        return self.height // self.vae_scale_factor_spatial
+
+    @property
+    def latent_width(self) -> int:
+        return self.width // self.vae_scale_factor_spatial
+
+
+class CogVideoXImageToVideoPipeline:
+    """Latent-level I2V generation. ``params = {"transformer": ...}``.
+
+    Call with precomputed ``prompt_embeds`` (B, 226, 4096), ``image_latents`` (B, h, w, 16)
+    and optional domain/flow features; returns denoised video latents (B, F, h, w, 16).
+    """
+
+    def __init__(self, config: CogVideoXPipelineConfig = CogVideoXPipelineConfig(),
+                 transformer_config: CogVideoXConfig = CogVideoXConfig(),
+                 scheduler_config: CogVideoXDDIMConfig = CogVideoXDDIMConfig(),
+                 dtype: jnp.dtype = jnp.bfloat16):
+        self.config = config
+        self.dtype = dtype
+        self.transformer = CogVideoXTransformer3D(transformer_config, dtype=dtype)
+        self.scheduler = CogVideoXDDIMScheduler(scheduler_config)
+        self.schedule = self.scheduler.set_timesteps(config.num_inference_steps)
+        self._generate = jax.jit(self._generate_impl)
+
+    def init_params(self, rng: jax.Array) -> dict:
+        cfg = self.config
+        tcfg = self.transformer.config
+        latents = jnp.zeros((2, cfg.latent_frames, cfg.latent_height, cfg.latent_width,
+                             tcfg.in_channels), self.dtype)
+        prompt = jnp.zeros((2, tcfg.max_text_seq_length, tcfg.text_embed_dim), self.dtype)
+        dom = jnp.zeros((2, 1, 1000), self.dtype)
+        return {"transformer": self.transformer.init(
+            rng, latents, prompt, jnp.zeros((2,)), domain_features=dom, flow_features=dom)}
+
+    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, image_latents,
+                       rng, domain_features=None, flow_features=None):
+        cfg = self.config
+        b = prompt_embeds.shape[0]
+        f = cfg.latent_frames
+
+        latents = jax.random.normal(
+            rng, (b, f, cfg.latent_height, cfg.latent_width,
+                  self.transformer.config.out_channels), jnp.float32)
+
+        # image conditioning: first-frame latents, zeros for the rest (I2V)
+        img = jnp.concatenate([
+            image_latents[:, None],
+            jnp.zeros((b, f - 1) + image_latents.shape[1:], image_latents.dtype)], axis=1)
+
+        do_cfg = cfg.guidance_scale > 1.0
+        if do_cfg:
+            ctx = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+            img_rows = jnp.concatenate([img, img], axis=0)
+        else:
+            ctx = prompt_embeds
+            img_rows = img
+        ctx = ctx.astype(self.dtype)
+        img_rows = img_rows.astype(self.dtype)
+
+        schedule, scheduler = self.schedule, self.scheduler
+        n = schedule.num_steps
+
+        def step_fn(latents, i):
+            t = schedule.timesteps[i]
+            model_in = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
+            model_in = jnp.concatenate([model_in.astype(self.dtype), img_rows], axis=-1)
+            pred = self.transformer.apply(
+                params["transformer"], model_in, ctx,
+                jnp.full((model_in.shape[0],), t, jnp.float32),
+                domain_features=domain_features, flow_features=flow_features,
+            ).astype(jnp.float32)
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                if cfg.use_dynamic_cfg:  # reference pipeline dynamic cfg (1 + g*(...cos ramp))
+                    g = 1.0 + (cfg.guidance_scale - 1.0) * (
+                        (1.0 - jnp.cos(jnp.pi * ((n - i.astype(jnp.float32)) / n) ** 5.0)) / 2.0)
+                else:
+                    g = cfg.guidance_scale
+                pred = uncond + g * (cond - uncond)
+            latents, _ = scheduler.step(schedule, pred, i, latents)
+            return latents, ()
+
+        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(n))
+        return latents
+
+    def __call__(self, params, prompt_embeds, image_latents, negative_prompt_embeds=None,
+                 rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        prompt_embeds = jnp.asarray(prompt_embeds)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return np.asarray(self._generate(params, prompt_embeds, negative_prompt_embeds,
+                                         jnp.asarray(image_latents), rng,
+                                         domain_features, flow_features))
+
+
+def make_cogvideox_train_step(transformer: CogVideoXTransformer3D, optimizer,
+                              scheduler: Optional[CogVideoXDDIMScheduler] = None):
+    """v-prediction MSE train step (reference lora_trainer.py ``compute_loss``).
+
+    batch: latents (B,F,h,w,16) scaled, image_latents (B,h,w,16), prompt_embeds
+    (B,L,4096), optional domain/flow features."""
+    import optax
+
+    from lkgd_tpu.training.train_state import TrainState
+
+    sched = scheduler or CogVideoXDDIMScheduler()
+    acp = jnp.asarray(sched.alphas_cumprod, jnp.float32)
+
+    def loss_fn(params, batch, rng):
+        latents = batch["latents"].astype(jnp.float32)
+        b, f = latents.shape[:2]
+        r_t, r_noise = jax.random.split(rng)
+        timesteps = jax.random.randint(r_t, (b,), 0, acp.shape[0])
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        noisy = sched.add_noise(latents, noise, timesteps)
+        target = sched.get_velocity(latents, noise, timesteps)
+
+        img = jnp.concatenate([
+            batch["image_latents"][:, None],
+            jnp.zeros((b, f - 1) + batch["image_latents"].shape[1:], latents.dtype)], axis=1)
+        model_in = jnp.concatenate([noisy, img], axis=-1)
+        pred = transformer.apply(
+            params, model_in, batch["prompt_embeds"], timesteps.astype(jnp.float32),
+            domain_features=batch.get("domain_features"),
+            flow_features=batch.get("flow_features"))
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state, state.ema_params), loss
+
+    return train_step

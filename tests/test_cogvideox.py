@@ -1,0 +1,103 @@
+"""CogVideoX DiT, DDIM scheduler, I2V pipeline, train step (tiny configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D, rope_3d
+from lkgd_tpu.models.configs import LoraRouter, LoraRule
+from lkgd_tpu.pipelines.cogvideox_i2v import (
+    CogVideoXImageToVideoPipeline, CogVideoXPipelineConfig, make_cogvideox_train_step)
+from lkgd_tpu.schedulers.cogvideox_ddim import CogVideoXDDIMConfig, CogVideoXDDIMScheduler
+from lkgd_tpu.training.train_state import init_train_state, make_optimizer
+
+TCFG = CogVideoXConfig.tiny()
+
+
+class TestScheduler:
+    def test_snr_shift_and_zero_terminal(self):
+        s = CogVideoXDDIMScheduler()
+        assert abs(s.alphas_cumprod[-1]) < 1e-10  # zero terminal SNR
+        assert s.alphas_cumprod[0] > 0.99
+
+    def test_ddim_roundtrip_perfect_model(self):
+        # a perfect v-prediction collapses to x0 over the full schedule
+        s = CogVideoXDDIMScheduler()
+        sched = s.set_timesteps(10)
+        x0_true = jnp.ones((1, 4)) * 0.5
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (1, 4))
+        for i in range(sched.num_steps):
+            a_t = sched.alphas_cumprod_t[i]
+            v = jnp.sqrt(a_t) * (x - jnp.sqrt(a_t) * x0_true) / jnp.maximum(
+                jnp.sqrt(1 - a_t), 1e-8) if False else (
+                jnp.sqrt(a_t) * x - x0_true) / jnp.maximum(jnp.sqrt(1.0 - a_t), 1e-8)
+            x, _ = s.step(sched, v, i, x)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0_true), atol=1e-3)
+
+    def test_velocity_definition(self):
+        s = CogVideoXDDIMScheduler()
+        x = jnp.ones((2, 3))
+        noise = jnp.ones((2, 3)) * 2.0
+        t = jnp.array([100, 500])
+        v = s.get_velocity(x, noise, t)
+        acp = jnp.asarray(s.alphas_cumprod, jnp.float32)[t][:, None]
+        want = jnp.sqrt(acp) * noise - jnp.sqrt(1 - acp) * x
+        np.testing.assert_allclose(np.asarray(v), np.asarray(want), rtol=1e-5)
+
+
+class TestTransformer:
+    def test_forward_shapes_and_fusion(self):
+        model = CogVideoXTransformer3D(TCFG)
+        x = jnp.ones((2, 3, 4, 4, 8))
+        ctx = jnp.ones((2, 8, 64))
+        dom = jnp.ones((2, 1, 48))
+        params = model.init(jax.random.PRNGKey(0), x, ctx, jnp.zeros((2,)),
+                            domain_features=dom, flow_features=dom)
+        out = model.apply(params, x, ctx, jnp.zeros((2,)), domain_features=dom,
+                          flow_features=dom)
+        assert out.shape == (2, 3, 4, 4, 4)
+        # zero-init fusion output: identical to no knowledge features at init
+        out2 = model.apply(params, x, ctx, jnp.zeros((2,)), domain_features=dom * 5,
+                           flow_features=dom)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+    def test_rope_shapes(self):
+        cos, sin = rope_3d(3, 4, 5, 16)
+        assert cos.shape == (60, 16) and sin.shape == (60, 16)
+
+
+class TestPipelineAndTraining:
+    def test_pipeline(self):
+        pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
+                                       num_inference_steps=3)
+        pipe = CogVideoXImageToVideoPipeline(pcfg, TCFG, dtype=jnp.float32)
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        out = pipe(params, jnp.ones((1, 8, 64)), jnp.ones((1, 4, 4, 4)))
+        assert out.shape == (1, 3, 4, 4, 4)
+        assert np.isfinite(out).all()
+
+    def test_lora_train_step_descends(self):
+        tcfg = CogVideoXConfig.tiny(lora=LoraRouter(rules=(
+            LoraRule(pattern="*attn1*", name="ft", rank=2,
+                     projections=("to_q", "to_k", "to_v", "to_out")),)))
+        model = CogVideoXTransformer3D(tcfg)
+        opt = make_optimizer(1e-3, trainable_predicate=lambda p: "lora" in p
+                             or "knowledge_fusion" in p)
+        batch = {"latents": jnp.ones((2, 3, 4, 4, 4)) * 0.1,
+                 "image_latents": jnp.ones((2, 4, 4, 4)) * 0.2,
+                 "prompt_embeds": jnp.ones((2, 8, 64)),
+                 "domain_features": jnp.ones((2, 1, 48)),
+                 "flow_features": jnp.ones((2, 1, 48))}
+        p = model.init(jax.random.PRNGKey(0), jnp.ones((2, 3, 4, 4, 8)),
+                       batch["prompt_embeds"], jnp.zeros((2,)),
+                       domain_features=batch["domain_features"],
+                       flow_features=batch["flow_features"])
+        step = jax.jit(make_cogvideox_train_step(model, opt))
+        state = init_train_state(p, opt)
+        k = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, batch, k)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
