@@ -36,15 +36,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     k = k_ref[0]  # (BK, D)
     v = v_ref[0]  # (BK, D)
 
+    # softmax in the exp2 domain: fold scale*log2(e) into the logits so the VPU runs the
+    # cheap pow2 instead of exp (the transcendental is the per-block bottleneck at D=64)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+                            preferred_element_type=jnp.float32) * (scale * 1.4426950408889634)
 
-    m_prev = m_scratch[...]  # (BQ, 128) lane-replicated
+    m_prev = m_scratch[...]  # (BQ, 128) lane-replicated, log2 domain
     l_prev = l_scratch[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
     m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    alpha = jnp.exp(m_prev - m_next)  # (BQ, 128)
-    p = jnp.exp(s - m_next[:, :1])  # (BQ, BK)
+    alpha = jnp.exp2(m_prev - m_next)  # (BQ, 128)
+    p = jnp.exp2(s - m_next[:, :1])  # (BQ, BK)
     l_next = alpha * l_prev + jnp.broadcast_to(
         jnp.sum(p, axis=-1, keepdims=True), l_prev.shape)
 
@@ -56,6 +58,62 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     @pl.when(j == n_k_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_q: int,
+                       block_k: int):
+    """VMEM-resident flash attention for video-diffusion shapes: small S*D (a few MB) but
+    many (batch*head) rows. The whole (S, D) q/k/v of one row sits in VMEM; q/k tiling
+    runs in fori_loops so there is ONE grid step per (b,h) — the (b, i, j) grid variant
+    spends more time in per-step overhead than in math at these sizes."""
+    s_k = k_ref.shape[1]
+    n_k = s_k // block_k
+    log2e = 1.4426950408889634
+    q = q_ref[0]  # (BQ, D)
+
+    def k_loop(ki, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * (scale * log2e)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, q_ref.shape[2]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_k, k_loop, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_vmem_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int,
+                     block_k: int) -> jnp.ndarray:
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    kernel = functools.partial(_flash_vmem_kernel, scale=d**-0.5, block_q=block_q,
+                               block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, s_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),  # k/v resident per row
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(q, k, v)
 
 
 def _pick_block(s: int, preferred=(1024, 512, 256, 128)) -> int:
