@@ -1,0 +1,134 @@
+"""Image-to-video inference CLI — `run_models/run_inference_svd.py` /
+`run_inference_trans_svd.py` analog.
+
+Examples:
+  # base img2vid from one frame
+  python -m lkgd_tpu.cli.run_inference_svd --image frame.png --output out.gif \
+      --height 576 --width 1024 --num-frames 14
+
+  # frame transition between two frames (joint attention)
+  python -m lkgd_tpu.cli.run_inference_svd --mode trans --image start.png --end-image end.png \
+      --checkpoint ckpt_dir --joint-mask 0,1,0,1 --flip
+
+Weights: --weights points to a diffusers-layout safetensors dump (unet/vae/image_encoder
+subfolders or combined files) imported via lkgd_tpu.utils.porting; without --weights the
+model runs with random init (smoke/benchmark mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_pipeline(args):
+    from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, LoraRule, SVDUNetConfig
+    from lkgd_tpu.pipelines.svd import StableVideoDiffusionPipeline, SVDPipelineConfig
+    from lkgd_tpu.pipelines.svd_trans import StableVideoDiffusionTransPipeline
+
+    joint = None
+    lora = LoraRouter()
+    if args.mode == "trans":
+        mask = tuple(int(x) for x in args.joint_mask.split(","))
+        joint = JointAttentionConfig(post=args.post_joint, flip=args.flip, mask=mask,
+                                     spatial=not args.nospatial, temporal=args.temporal)
+        rules = []
+        if args.lora_rank:
+            inv = tuple(1 - m for m in mask)
+            rules = [
+                LoraRule("*attn1n*", "yx_lora", args.lora_rank, args.lora_rank, mask),
+                LoraRule("*temporal_transformer_blocks*attn1.*", "xy_lora",
+                         args.lora_rank, args.lora_rank, inv),
+            ]
+        lora = LoraRouter(rules=tuple(rules))
+
+    unet_config = SVDUNetConfig(num_frames=args.num_frames, joint=joint, lora=lora,
+                                knowledge_fusion=args.knowledge_fusion)
+    pcfg = SVDPipelineConfig(
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
+        min_guidance_scale=args.min_guidance_scale,
+        max_guidance_scale=args.max_guidance_scale, fps=args.fps,
+        motion_bucket_id=args.motion_bucket_id, noise_aug_strength=args.noise_aug_strength,
+        decode_chunk_size=args.decode_chunk_size)
+    cls = StableVideoDiffusionTransPipeline if args.mode == "trans" else StableVideoDiffusionPipeline
+    return cls(config=pcfg, unet_config=unet_config, dtype=jnp.bfloat16)
+
+
+def load_params(pipe, args):
+    if not args.weights:
+        print("no --weights given: random-init params (smoke mode)")
+        return jax.jit(pipe.init_params)(jax.random.PRNGKey(args.seed))
+    from lkgd_tpu.utils import porting
+
+    template = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+    params = dict(template)
+    mapping = {"unet": (porting.port_svd_unet, "unet.safetensors"),
+               "vae": (porting.port_temporal_vae, "vae.safetensors"),
+               "image_encoder": (porting.port_clip_vision, "image_encoder.safetensors")}
+    for key, (port, fname) in mapping.items():
+        path = os.path.join(args.weights, fname)
+        if os.path.exists(path):
+            sd = porting.load_safetensors(path)
+            params[key] = port(sd, template[key], strict=False)
+            print(f"loaded {key} from {path} ({len(sd)} tensors)")
+    return params
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["base", "trans"], default="base")
+    p.add_argument("--image", required=True)
+    p.add_argument("--end-image")
+    p.add_argument("--output", default="output.gif")
+    p.add_argument("--weights")
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--num-frames", type=int, default=14)
+    p.add_argument("--num-inference-steps", type=int, default=25)
+    p.add_argument("--min-guidance-scale", type=float, default=1.0)
+    p.add_argument("--max-guidance-scale", type=float, default=3.0)
+    p.add_argument("--fps", type=int, default=7)
+    p.add_argument("--motion-bucket-id", type=int, default=127)
+    p.add_argument("--noise-aug-strength", type=float, default=0.02)
+    p.add_argument("--decode-chunk-size", type=int, default=2)
+    p.add_argument("--seed", type=int, default=23123134)  # reference default seed
+    # trans/joint options (explicit replacements for the reference's dir-name flags)
+    p.add_argument("--joint-mask", default="0,1,0,1")
+    p.add_argument("--post-joint", choices=["conv", "scale", "conv_fuse"], default="conv")
+    p.add_argument("--flip", action="store_true")
+    p.add_argument("--temporal", action="store_true")
+    p.add_argument("--nospatial", action="store_true")
+    p.add_argument("--lora-rank", type=int, default=0)
+    p.add_argument("--knowledge-fusion", action="store_true")
+    args = p.parse_args()
+
+    from lkgd_tpu.data.video_io import load_input, process_frames, write_video
+
+    pipe = build_pipeline(args)
+    params = load_params(pipe, args)
+
+    frames = load_input(args.image)
+    image = process_frames(frames[:1], args.height, args.width)[0]
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.mode == "trans":
+        end_path = args.end_image or args.image
+        eframes = load_input(end_path)
+        end_image = process_frames(eframes[-1:], args.height, args.width)[0]
+        video = pipe(params, image, end_image, rng=rng)
+        out = np.concatenate([video[0], video[1]], axis=2)  # side by side
+    else:
+        video = pipe(params, image[None], rng=rng)
+        out = video[0]
+
+    write_video(args.output, out, fps=args.fps)
+    print(f"wrote {args.output}: {out.shape}")
+
+
+if __name__ == "__main__":
+    main()

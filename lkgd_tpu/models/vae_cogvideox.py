@@ -1,0 +1,174 @@
+"""CogVideoX causal 3D VAE — TPU-native.
+
+Re-implements diffusers' ``AutoencoderKLCogVideoX`` (the VAE behind the reference's
+CogVideoX pipelines and the latent pre-computation at
+`CogVideo-main/finetune/datasets/i2v_dataset.py:102-124`): causal 3D convolutions
+(temporal front-padding with the replicated first frame), spatial 2x down/up at every
+level, 4x temporal compression, per-frame group norms.
+
+Layout: videos (B, T, H, W, C) channels-last. Latent frames = (T - 1)/4 + 1 (the first
+frame is never temporally compressed — the causal convs see it alone).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lkgd_tpu.models.layers import GroupNorm
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXVAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 16
+    block_out_channels: Tuple[int, ...] = (128, 256, 256, 512)
+    layers_per_block: int = 3
+    temporal_compress_levels: Tuple[bool, ...] = (True, True, False)  # per downsample
+    scaling_factor: float = 0.7
+
+    @classmethod
+    def tiny(cls) -> "CogVideoXVAEConfig":
+        return cls(latent_channels=4, block_out_channels=(32, 32, 64), layers_per_block=1,
+                   temporal_compress_levels=(True, True))
+
+
+class CausalConv3d(nn.Module):
+    """3D conv with causal temporal padding: the time axis is front-padded with the first
+    frame (replicate) so frame t never sees the future."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)  # (T, H, W)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.strides
+        if kt > 1:
+            front = jnp.repeat(x[:, :1], kt - 1, axis=1)
+            x = jnp.concatenate([front, x], axis=1)
+        pad_h = ((kh - 1) // 2, kh // 2)
+        pad_w = ((kw - 1) // 2, kw // 2)
+        return nn.Conv(self.features, (kt, kh, kw), strides=(st, sh, sw),
+                       padding=((0, 0), pad_h, pad_w), dtype=self.dtype, name="conv")(x)
+
+
+class CogResBlock3D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = CausalConv3d(self.out_channels, kernel=(1, 1, 1), dtype=self.dtype,
+                             name="conv_shortcut")(x)
+        return x + h
+
+
+def _temporal_downsample(x: jnp.ndarray) -> jnp.ndarray:
+    """Causal 2x temporal pooling: keep frame 0, average-pool pairs of the rest
+    (CogVideoX keeps the first frame uncompressed)."""
+    first, rest = x[:, :1], x[:, 1:]
+    t = rest.shape[1]
+    rest = rest[:, : t - t % 2]
+    rest = rest.reshape(rest.shape[0], -1, 2, *rest.shape[2:]).mean(axis=2)
+    return jnp.concatenate([first, rest], axis=1)
+
+
+def _temporal_upsample(x: jnp.ndarray) -> jnp.ndarray:
+    first, rest = x[:, :1], x[:, 1:]
+    rest = jnp.repeat(rest, 2, axis=1)
+    return jnp.concatenate([first, rest], axis=1)
+
+
+def _spatial_resize(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    b, t, h, w, c = x.shape
+    return jax.image.resize(x, (b, t, int(h * scale), int(w * scale), c), "nearest")
+
+
+class CogVideoXEncoder(nn.Module):
+    config: CogVideoXVAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        h = CausalConv3d(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(x)
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                h = CogResBlock3D(ch, dtype=self.dtype, name=f"down_{i}_res_{j}")(h)
+            if i < len(cfg.block_out_channels) - 1:
+                b, t, hh, ww, c = h.shape
+                h = h.reshape(b * t, hh, ww, c)
+                h = nn.Conv(c, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                            name=f"down_{i}_downsample")(h)
+                h = h.reshape(b, t, hh // 2, ww // 2, c)
+                if cfg.temporal_compress_levels[i]:
+                    h = _temporal_downsample(h)
+        h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_res_0")(h)
+        h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_res_1")(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm_out")(h)
+        h = nn.silu(h)
+        return CausalConv3d(2 * cfg.latent_channels, dtype=self.dtype, name="conv_out")(h)
+
+
+class CogVideoXDecoder(nn.Module):
+    config: CogVideoXVAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        chs = tuple(reversed(cfg.block_out_channels))
+        h = CausalConv3d(chs[0], dtype=self.dtype, name="conv_in")(z)
+        h = CogResBlock3D(chs[0], dtype=self.dtype, name="mid_res_0")(h)
+        h = CogResBlock3D(chs[0], dtype=self.dtype, name="mid_res_1")(h)
+        t_levels = tuple(reversed(cfg.temporal_compress_levels))
+        for i, ch in enumerate(chs):
+            for j in range(cfg.layers_per_block):
+                h = CogResBlock3D(ch, dtype=self.dtype, name=f"up_{i}_res_{j}")(h)
+            if i < len(chs) - 1:
+                if t_levels[i]:
+                    h = _temporal_upsample(h)
+                h = _spatial_resize(h, 2.0)
+                b, t, hh, ww, c = h.shape
+                h2 = h.reshape(b * t, hh, ww, c)
+                h2 = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                             name=f"up_{i}_upsample")(h2)
+                h = h2.reshape(b, t, hh, ww, c)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm_out")(h)
+        h = nn.silu(h)
+        return CausalConv3d(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
+
+
+class AutoencoderKLCogVideoX(nn.Module):
+    config: CogVideoXVAEConfig = CogVideoXVAEConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = CogVideoXEncoder(self.config, dtype=self.dtype)
+        self.decoder = CogVideoXDecoder(self.config, dtype=self.dtype)
+
+    def encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, H, W, 3) -> (B, T_lat, h, w, latent) posterior mean."""
+        return self.encoder(x)[..., : self.config.latent_channels]
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(z)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode_mode(x))
