@@ -71,8 +71,14 @@ class StableVideoDiffusionPipeline:
         clip_config: CLIPVisionConfig = CLIPVisionConfig(),
         scheduler_config: EulerDiscreteConfig = EulerDiscreteConfig.svd(),
         dtype: jnp.dtype = jnp.bfloat16,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh for SPMD inference — the CFG/stream batch
+        shards over 'data' and the frame axis over 'context' (ICI collectives handle
+        temporal attention); params stay replicated. This is the v5e-8 deployment path
+        behind BASELINE.json's <10s north star."""
         self.config = config
+        self.mesh = mesh
         self.dtype = dtype
         self.unet = UNetSpatioTemporalCondition(unet_config, dtype=dtype)
         self.vae = AutoencoderKLTemporalDecoder(vae_config, dtype=dtype)
@@ -171,6 +177,8 @@ class StableVideoDiffusionPipeline:
         guidance = self._guidance_scale(batch_size)
         schedule = self.schedule
         scheduler = self.scheduler
+        latents = self._shard_video(latents)
+        image_latents = self._shard_video(image_latents)
 
         def step_fn(latents, i):
             if cfg.do_classifier_free_guidance:
@@ -195,6 +203,22 @@ class StableVideoDiffusionPipeline:
             return latents
 
         return self.decode_latents(params["vae"], latents)
+
+    def _shard_video(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Constrain a (B, T, ...) video tensor to the mesh: batch over data, frames over
+        context (no-op without a mesh). XLA propagates the layout through the UNet and
+        inserts ICI collectives where temporal attention needs whole-sequence views."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = [None] * x.ndim
+        if "data" in self.mesh.axis_names and x.shape[0] % self.mesh.shape["data"] == 0:
+            axes[0] = "data"
+        if ("context" in self.mesh.axis_names and x.ndim > 1
+                and x.shape[1] % self.mesh.shape["context"] == 0):
+            axes[1] = "context"
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, P(*axes)))
 
     def decode_latents(self, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
         """(B, T, h, w, 4) -> [0,1] frames (B, T, H, W, 3), equal-chunk temporal decode

@@ -251,3 +251,51 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
         for k in f.keys():
             out[k] = f.get_tensor(k)
     return out
+
+
+# ---------------------------------------------------------------- LoRA adapter interop
+def lora_key_map(adapter_name: str):
+    """diffusers/peft LoRA state-dict names -> our in-kernel adapter params.
+
+    Accepts 'unet.<path>.to_q.lora_A.weight' (diffusers), with optional
+    'base_model.model.' / 'unet.' prefixes and peft '...lora_A.<adapter>.weight' forms
+    (reference loads these at utils/util.py:569-573 via load_lora_into_unet).
+    """
+
+    def map_key(key: str):
+        k = key
+        for prefix in ("base_model.model.", "unet.", "transformer."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        k = k.replace(f".lora_A.{adapter_name}.weight", f".lora_A.weight")
+        k = k.replace(f".lora_B.{adapter_name}.weight", f".lora_B.weight")
+        # kohya style
+        k = k.replace(".lora.down.weight", ".lora_A.weight")
+        k = k.replace(".lora.up.weight", ".lora_B.weight")
+        if k.endswith(".lora_A.weight"):
+            return k[: -len(".lora_A.weight")] + f".lora_{adapter_name}_A"
+        if k.endswith(".lora_B.weight"):
+            return k[: -len(".lora_B.weight")] + f".lora_{adapter_name}_B"
+        return None  # not a lora tensor
+
+    return map_key
+
+
+def port_lora_safetensors(state_dict, template, adapter_name: str, strict: bool = False):
+    """Load a diffusers-layout LoRA safetensors dict into a params tree whose router
+    already declares the adapter (non-adapter leaves keep the template values)."""
+    return port_state_dict(state_dict, template, key_map=lora_key_map(adapter_name),
+                           strict=strict)
+
+
+def export_lora_safetensors(params, adapter_name: str):
+    """Our adapter params -> diffusers-layout LoRA state dict
+    (reference exports per-adapter safetensors at train_svd_lora.py:1736-1747)."""
+    sd = export_state_dict(
+        params, path_predicate=lambda p: f"lora_{adapter_name}_" in p)
+    out = {}
+    for k, v in sd.items():
+        k2 = k.replace(f".lora_{adapter_name}_A", ".lora_A.weight")
+        k2 = k2.replace(f".lora_{adapter_name}_B", ".lora_B.weight")
+        out["unet." + k2] = v.T  # back to torch (out, in) layout
+    return out
