@@ -34,6 +34,11 @@ from lkgd_tpu.models.layers import (
 )
 
 
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsample via repeat (jax.image.resize lowers to gathers on TPU)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)
+
+
 # ------------------------------------------------------------------ resnet blocks
 class ResnetBlock2D(nn.Module):
     """diffusers ResnetBlock2D (pre-norm, silu, 3x3 convs, temb add after conv1)."""
@@ -131,8 +136,7 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

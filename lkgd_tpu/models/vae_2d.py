@@ -39,8 +39,9 @@ class Decoder2D(nn.Module):
                 h = VAEResnetBlock(ch, dtype=self.dtype,
                                    name=f"up_blocks_{i}_resnets_{j}")(h)
             if i < len(chs) - 1:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                from lkgd_tpu.models.blocks_svd import nearest_upsample_2x
+
+                h = nearest_upsample_2x(h)
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_blocks_{i}_upsamplers_0")(h)
         h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
