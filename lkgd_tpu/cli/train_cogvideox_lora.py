@@ -1,0 +1,82 @@
+"""CogVideoX I2V LoRA fine-tuning CLI — `CogVideo-main/finetune/train.py` +
+`models/cogvideox_i2v/lora_trainer.py` analog.
+
+Trains LoRA (r=128 on to_q/k/v/out by default, per the reference's args schema) + the
+quaternion knowledge-fusion modules on precomputed latents/prompt embeddings from the
+native tensor cache (build it with cli.precompute_cache — the i2v_dataset cache analog).
+
+  python -m lkgd_tpu.cli.train_cogvideox_lora --cache cache.lkgd --output-dir out \
+      --rank 128 --learning-rate 1e-4 --max-steps 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cache", required=True, help="tensor cache with latents/prompt_embeds")
+    p.add_argument("--output-dir", default="output_cogvideox_lora")
+    p.add_argument("--rank", type=int, default=128)
+    p.add_argument("--lora-alpha", type=float, default=64.0)  # reference args.py defaults
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--max-steps", type=int, default=1000)
+    p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--tiny", action="store_true", help="tiny model (smoke/testing)")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lkgd_tpu.data.datasets import PrefetchLoader
+    from lkgd_tpu.data.tensor_cache import PrecomputedLatentDataset
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+    from lkgd_tpu.models.configs import LoraRouter, LoraRule
+    from lkgd_tpu.pipelines.cogvideox_i2v import make_cogvideox_train_step
+    from lkgd_tpu.training.train_state import init_train_state, make_optimizer
+    from lkgd_tpu.training.trainer import Trainer, TrainerConfig, export_trainable_safetensors
+
+    lora = LoraRouter(rules=(LoraRule(
+        "*attn1*", "cog", args.rank, args.lora_alpha,
+        projections=("to_q", "to_k", "to_v", "to_out")),))
+    cfg = (CogVideoXConfig.tiny(lora=lora) if args.tiny
+           else CogVideoXConfig.cogvideox_5b_i2v(lora=lora))
+    model = CogVideoXTransformer3D(cfg, dtype=jnp.bfloat16 if not args.tiny else jnp.float32)
+
+    ds = PrecomputedLatentDataset(args.cache)
+    if len(ds) == 0:
+        raise SystemExit("cache has no samples with latents")
+    sample = ds[0]
+    lat = sample["latents"]
+    prompt = sample["prompt_embeds"]
+    B = args.batch_size
+
+    rng = jax.random.PRNGKey(args.seed)
+    dom0 = jnp.zeros((B, 1, 1000))
+    params = model.init(
+        rng, jnp.zeros((B,) + lat.shape[:-1] + (cfg.in_channels,)),
+        jnp.zeros((B,) + prompt.shape), jnp.zeros((B,)),
+        domain_features=dom0, flow_features=dom0)
+
+    trainable = lambda path: "lora_" in path or "knowledge_fusion" in path
+    optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable)
+    step = make_cogvideox_train_step(model, optimizer)
+    state = init_train_state(params, optimizer)
+
+    loader = PrefetchLoader(ds, batch_size=B)
+    trainer = Trainer(step, state, TrainerConfig(
+        output_dir=args.output_dir, max_steps=args.max_steps,
+        checkpoint_every=args.checkpoint_every))
+    trainer.restore_latest()
+    final = trainer.fit(iter(loader))
+    n = export_trainable_safetensors(final.params, trainable,
+                                     f"{args.output_dir}/model.safetensors")
+    print(f"exported {n} trainable tensors")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Golden regression tests: fixed-seed tiny-model outputs pinned to stored checksums.
+
+The reference has no numerical tests (SURVEY.md §4); these goldens freeze our own
+numerics so refactors (kernel swaps, layout changes, norm rewrites) can't silently shift
+outputs. Regenerate with REGEN_GOLDENS=1 python -m pytest tests/test_goldens.py -q after
+an INTENTIONAL numerical change, and justify the diff in the commit message.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens.json")
+
+
+def _fingerprint(x) -> list:
+    x = np.asarray(x, np.float64)
+    probes = [float(x.mean()), float(x.std()), float(x.reshape(-1)[::max(x.size // 7, 1)].sum())]
+    return [round(v, 5) for v in probes]
+
+
+def _check(name: str, value) -> None:
+    goldens = {}
+    if os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH) as f:
+            goldens = json.load(f)
+    fp = _fingerprint(value)
+    if os.environ.get("REGEN_GOLDENS") or name not in goldens:
+        goldens[name] = fp
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+        return
+    got, want = fp, goldens[name]
+    assert np.allclose(got, want, rtol=2e-3, atol=2e-4), (
+        f"golden drift for {name}: got {got}, pinned {want} — if intentional, regenerate "
+        f"with REGEN_GOLDENS=1")
+
+
+def test_unet_golden():
+    from lkgd_tpu.models.configs import SVDUNetConfig
+    from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+
+    cfg = SVDUNetConfig(
+        block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
+        up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
+        layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=64,
+        knowledge_fusion=True)
+    model = UNetSpatioTemporalCondition(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(1234), 4)
+    sample = jax.random.normal(keys[0], (2, 4, 16, 16, 8))
+    ehs = jax.random.normal(keys[1], (2, 1, 64))
+    dom = jax.random.normal(keys[2], (2, 1, 48))
+    params = model.init(keys[3], sample, jnp.zeros((2,)), ehs, jnp.ones((2, 3)),
+                        domain_features=dom, flow_features=dom)
+    out = model.apply(params, sample, jnp.full((2,), 0.5), ehs, jnp.ones((2, 3)),
+                      domain_features=dom, flow_features=dom)
+    _check("unet_lkgd_tiny", out)
+
+
+def test_scheduler_golden():
+    from lkgd_tpu.schedulers.euler_discrete import EulerDiscreteConfig, EulerDiscreteScheduler
+
+    sched = EulerDiscreteScheduler(EulerDiscreteConfig.svd())
+    schedule = sched.set_timesteps(25)
+    _check("svd_sigmas_25", schedule.sigmas)
+    _check("svd_timesteps_25", schedule.timesteps)
+
+
+def test_fusion_golden():
+    from lkgd_tpu.ops.fusion import LatentKnowledgeFusion
+
+    m = LatentKnowledgeFusion(ctx_dim=1024)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    ctx = jax.random.normal(keys[0], (2, 1, 1024))
+    dom = jax.random.normal(keys[1], (2, 1, 768))
+    flo = jax.random.normal(keys[2], (2, 1, 768))
+    params = m.init(keys[3], ctx, dom, flo)
+    _check("fusion_1024", m.apply(params, ctx, dom, flo))
+
+
+def test_cogvideox_golden():
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+
+    model = CogVideoXTransformer3D(CogVideoXConfig.tiny())
+    keys = jax.random.split(jax.random.PRNGKey(99), 4)
+    x = jax.random.normal(keys[0], (1, 3, 4, 4, 8))
+    ctx = jax.random.normal(keys[1], (1, 8, 64))
+    dom = jax.random.normal(keys[2], (1, 1, 48))
+    params = model.init(keys[3], x, ctx, jnp.zeros((1,)), domain_features=dom,
+                        flow_features=dom)
+    out = model.apply(params, x, ctx, jnp.full((1,), 100.0), domain_features=dom,
+                      flow_features=dom)
+    _check("cogvideox_tiny", out)
