@@ -129,6 +129,10 @@ class SVDUNetConfig:
     joint: Optional[JointAttentionConfig] = None
     lora: LoraRouter = EMPTY_ROUTER
     dual_cond_conv_in: bool = False  # flow variant: second zero-alpha input conv (unet_..._flow.py:495-502)
+    # joint x/y variant (unet_..._joint.py:251-279,483-500): a SECOND input head
+    # (conv_in/time/add embeddings) whose rows are selected by this static stream mask
+    # (True rows use the y head). None = single head.
+    y_input_head_mask: Optional[Tuple[int, ...]] = None
 
     @property
     def time_embed_dim(self) -> int:

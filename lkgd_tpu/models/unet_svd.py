@@ -70,6 +70,18 @@ class UNetSpatioTemporalCondition(nn.Module):
         add_embeds = add_embeds.reshape(batch_size, -1).astype(self.dtype)
         emb = emb + TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype, name="add_embedding")(add_embeds)
 
+        if cfg.y_input_head_mask is not None:
+            # joint x/y variant: a cloned input head for the y stream, rows selected by
+            # the static mask (reference unet_..._joint.py:483-500)
+            emb_y = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
+                                      name="time_embedding_y")(t_emb)
+            emb_y = emb_y + TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
+                                              name="add_embedding_y")(add_embeds)
+            from lkgd_tpu.models.layers import stream_gate
+
+            head_gate = stream_gate(cfg.y_input_head_mask, batch_size, self.dtype)
+            emb = jnp.where(head_gate[:, None] > 0, emb_y, emb)
+
         # ---- 2. latent-knowledge fusion of the cross-attention context (reference :536-595)
         if cfg.knowledge_fusion:
             encoder_hidden_states = LatentKnowledgeFusion(
@@ -100,8 +112,16 @@ class UNetSpatioTemporalCondition(nn.Module):
             h = h + h2 * alpha.astype(self.dtype)
             sample = h
         else:
-            sample = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
-                             name="conv_in")(sample)
+            h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                        name="conv_in")(sample)
+            if cfg.y_input_head_mask is not None:
+                h_y = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                              name="conv_in_y")(sample)
+                from lkgd_tpu.models.layers import stream_gate
+
+                row_gate = stream_gate(cfg.y_input_head_mask, h.shape[0], self.dtype)
+                h = jnp.where(row_gate[:, None, None, None] > 0, h_y, h)
+            sample = h
 
         if image_only_indicator is None:
             image_only_indicator = jnp.zeros((batch_size, num_frames), dtype=self.dtype)
