@@ -1,0 +1,72 @@
+"""Pseudo-label generation CLI — `annotate/annotate_segmentation.py` analog.
+
+The reference labels training frames with external models (OneFormer segmentation,
+Depth-Anything depth; `annotate/configs/annotate_spatial.yaml`). Those checkpoints are
+external; this CLI runs any processor registered in utils.control_preprocess (classical
+ones ship built-in: canny/softedge/tile; flow maps come from our UniMatch via
+--annotation flow) over a folder of videos/images and writes label maps alongside.
+
+  python -m lkgd_tpu.cli.annotate --input data/videos --annotation canny --output labels/
+  python -m lkgd_tpu.cli.annotate --input data/videos --annotation flow --output labels/
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--annotation", default="canny")
+    p.add_argument("--max-frames", type=int, default=64)
+    args = p.parse_args()
+
+    from lkgd_tpu.data.video_io import load_input, write_video
+    from lkgd_tpu.utils import control_preprocess as cp
+
+    if args.annotation == "flow":
+        import jax
+        import jax.numpy as jnp
+
+        from lkgd_tpu.models.unimatch import UniMatch, UniMatchConfig
+        from lkgd_tpu.utils.flow_codec import flow_to_image_naive
+        from lkgd_tpu.utils.optical_flow import make_flow_fn
+
+        model = UniMatch(UniMatchConfig.lkgd(), dtype=jnp.float32)
+        flow_fns = {}
+
+        def flow_processor_video(frames: np.ndarray) -> np.ndarray:
+            hw = frames.shape[1:3]
+            if hw not in flow_fns:
+                ph = -(-hw[0] // 16) * 16
+                pw = -(-hw[1] // 16) * 16
+                params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, ph, pw, 3)),
+                                    jnp.zeros((1, ph, pw, 3)))
+                flow_fns[hw] = make_flow_fn(model, params, hw)
+            flow = flow_fns[hw](jnp.asarray(frames))
+            img = np.asarray(flow_to_image_naive(flow))
+            return np.concatenate([img, img[-1:]], axis=0)  # last frame repeats
+
+    files = sorted(sum([glob.glob(os.path.join(args.input, e))
+                        for e in ("*.mp4", "*.gif", "*.png", "*.jpg")], []))
+    os.makedirs(args.output, exist_ok=True)
+    for f in files:
+        frames = load_input(f, max_frames=args.max_frames)
+        if args.annotation == "flow":
+            labels = flow_processor_video(frames)
+        else:
+            labels = cp.control_preprocess(frames, args.annotation)
+        name = os.path.splitext(os.path.basename(f))[0]
+        out = os.path.join(args.output, f"{name}_{args.annotation}.gif")
+        write_video(out, labels, fps=7)
+        print(f"{f} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -235,10 +235,14 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         c = x.shape[-1]
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if os.environ.get("LKGD_SKIP_GN_STATS"):  # perf-bisection debug hook only
+            return (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
         # two-pass per (sample, group) statistics: fp32 *reductions* over compute-dtype
         # tensors — no full-size fp32 temporaries (those OOM HBM at video resolution)
         xg = x.reshape(x.shape[:1] + (-1, g, c // g))
