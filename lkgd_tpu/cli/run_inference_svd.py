@@ -32,7 +32,7 @@ def build_pipeline(args):
 
     joint = None
     lora = LoraRouter()
-    if args.mode == "trans":
+    if args.mode in ("trans", "smooth"):
         mask = tuple(int(x) for x in args.joint_mask.split(","))
         joint = JointAttentionConfig(post=args.post_joint, flip=args.flip, mask=mask,
                                      spatial=not args.nospatial, temporal=args.temporal)
@@ -55,8 +55,22 @@ def build_pipeline(args):
         max_guidance_scale=args.max_guidance_scale, fps=args.fps,
         motion_bucket_id=args.motion_bucket_id, noise_aug_strength=args.noise_aug_strength,
         decode_chunk_size=args.decode_chunk_size)
-    cls = StableVideoDiffusionTransPipeline if args.mode == "trans" else StableVideoDiffusionPipeline
-    return cls(config=pcfg, unet_config=unet_config, dtype=jnp.bfloat16)
+    if args.mode == "trans":
+        return StableVideoDiffusionTransPipeline(config=pcfg, unet_config=unet_config,
+                                                 dtype=jnp.bfloat16)
+    if args.mode == "flow":
+        from lkgd_tpu.pipelines.svd_flow import StableVideoDiffusionFlowPipeline
+
+        return StableVideoDiffusionFlowPipeline(config=pcfg, unet_config=unet_config,
+                                                dtype=jnp.bfloat16)
+    if args.mode == "smooth":
+        from lkgd_tpu.pipelines.svd_smooth import StableVideoDiffusionSmoothPipeline
+
+        return StableVideoDiffusionSmoothPipeline(
+            config=pcfg, unet_config=unet_config, dtype=jnp.bfloat16,
+            start_step=args.smooth_start_step, total_frames=args.smooth_total_frames)
+    return StableVideoDiffusionPipeline(config=pcfg, unet_config=unet_config,
+                                        dtype=jnp.bfloat16)
 
 
 def load_params(pipe, args):
@@ -81,7 +95,7 @@ def load_params(pipe, args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["base", "trans"], default="base")
+    p.add_argument("--mode", choices=["base", "trans", "flow", "smooth"], default="base")
     p.add_argument("--image", required=True)
     p.add_argument("--end-image")
     p.add_argument("--output", default="output.gif")
@@ -105,6 +119,8 @@ def main():
     p.add_argument("--nospatial", action="store_true")
     p.add_argument("--lora-rank", type=int, default=0)
     p.add_argument("--knowledge-fusion", action="store_true")
+    p.add_argument("--smooth-start-step", type=int, default=10)
+    p.add_argument("--smooth-total-frames", type=int, default=50)
     args = p.parse_args()
 
     from lkgd_tpu.data.video_io import load_input, process_frames, write_video
@@ -116,6 +132,18 @@ def main():
     image = process_frames(frames[:1], args.height, args.width)[0]
     rng = jax.random.PRNGKey(args.seed)
 
+    if args.mode == "smooth":
+        video = load_input(args.image)[: args.smooth_total_frames]
+        video = process_frames(video, args.height, args.width)
+        out = pipe(params, video, rng=rng)[0]
+        write_video(args.output, out, fps=args.fps)
+        print(f"wrote {args.output}: {out.shape}")
+        return
+    if args.mode == "flow":
+        flow_video = pipe(params, image[None], flow_cond=image[None], rng=rng)
+        write_video(args.output, flow_video[0], fps=args.fps)
+        print(f"wrote {args.output}: {flow_video[0].shape}")
+        return
     if args.mode == "trans":
         end_path = args.end_image or args.image
         eframes = load_input(end_path)
