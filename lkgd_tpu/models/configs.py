@@ -133,6 +133,9 @@ class SVDUNetConfig:
     # (conv_in/time/add embeddings) whose rows are selected by this static stream mask
     # (True rows use the y head). None = single head.
     y_input_head_mask: Optional[Tuple[int, ...]] = None
+    # gradient checkpointing: rematerialize each down/mid/up block in the backward pass
+    # (reference enable_gradient_checkpointing, train_svd_lora.py:1181-1182)
+    remat: bool = False
 
     @property
     def time_embed_dim(self) -> int:

@@ -126,11 +126,14 @@ class UNetSpatioTemporalCondition(nn.Module):
         if image_only_indicator is None:
             image_only_indicator = jnp.zeros((batch_size, num_frames), dtype=self.dtype)
 
+        # gradient checkpointing: remat each block (reference :1181-1182)
+        maybe_remat = nn.remat if cfg.remat else (lambda m, **kw: m)
+
         # ---- 5. down blocks (reference :620-647)
         res_samples = (sample,)
         for i, block_type in enumerate(cfg.down_block_types):
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                sample, outs = CrossAttnDownBlockSpatioTemporal(
+                sample, outs = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
                     heads=cfg.num_attention_heads[i], cross_attention_dim=cfg.cross_attention_dim,
@@ -139,7 +142,7 @@ class UNetSpatioTemporalCondition(nn.Module):
                     name=f"down_blocks_{i}",
                 )(sample, emb, encoder_hidden_states, image_only_indicator, joint_scale)
             elif block_type == "DownBlockSpatioTemporal":
-                sample, outs = DownBlockSpatioTemporal(
+                sample, outs = maybe_remat(DownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
                     add_downsample=i < len(cfg.block_out_channels) - 1, dtype=self.dtype,
                     name=f"down_blocks_{i}",
@@ -155,7 +158,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             )
 
         # ---- 6. mid (reference :650-658)
-        sample = UNetMidBlockSpatioTemporal(
+        sample = maybe_remat(UNetMidBlockSpatioTemporal)(
             cfg.block_out_channels[-1], transformer_layers=cfg.transformer_layers_per_block,
             heads=cfg.num_attention_heads[-1], cross_attention_dim=cfg.cross_attention_dim,
             joint=cfg.joint, lora=cfg.lora, dtype=self.dtype, name="mid_block",
@@ -171,7 +174,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             skips, res_samples = res_samples[-n_layers:], res_samples[:-n_layers]
             add_upsample = i < len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnUpBlockSpatioTemporal":
-                sample = CrossAttnUpBlockSpatioTemporal(
+                sample = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
                     reversed_channels[i], num_layers=n_layers,
                     transformer_layers=cfg.transformer_layers_per_block, heads=reversed_heads[i],
                     cross_attention_dim=cfg.cross_attention_dim, add_upsample=add_upsample,
@@ -179,7 +182,7 @@ class UNetSpatioTemporalCondition(nn.Module):
                     name=f"up_blocks_{i}",
                 )(sample, skips, emb, encoder_hidden_states, image_only_indicator, joint_scale)
             elif block_type == "UpBlockSpatioTemporal":
-                sample = UpBlockSpatioTemporal(
+                sample = maybe_remat(UpBlockSpatioTemporal)(
                     reversed_channels[i], num_layers=n_layers, add_upsample=add_upsample,
                     dtype=self.dtype, name=f"up_blocks_{i}",
                 )(sample, skips, emb, image_only_indicator)

@@ -51,7 +51,8 @@ def torch_key_to_path(key: str) -> Tuple[str, ...]:
     leaf = parts[-1]
     if leaf == "weight":
         parent = parts[-2] if len(parts) > 1 else ""
-        if "norm" in parent or parent in ("group_norm",):
+        if ("norm" in parent and not parent.endswith(("linear", "proj"))) or parent in (
+                "group_norm",):
             leaf = "scale"
         elif parent in ("lconv", "dconv", "fconv"):
             leaf = "weight"  # depthwise compressors keep torch-style 'weight'
@@ -299,3 +300,23 @@ def export_lora_safetensors(params, adapter_name: str):
         k2 = k2.replace(f".lora_{adapter_name}_B", ".lora_B.weight")
         out["unet." + k2] = v.T  # back to torch (out, in) layout
     return out
+
+
+def cogvideox_key_map(key: str) -> Optional[str]:
+    """diffusers CogVideoXTransformer3DModel (+ LKGD quaternion additions) -> our paths."""
+    k = key
+    if k.startswith("quaternion_lora_"):
+        name = k[len("quaternion_lora_"):]
+        name = name.replace("fuse_sf.0", "fuse_sf_0").replace("fuse_sf.2", "fuse_sf_2")
+        return f"knowledge_fusion.{name}"
+    k = k.replace("patch_embed.proj", "patch_embed_proj")
+    k = k.replace("patch_embed.text_proj", "patch_embed_text_proj")
+    k = k.replace("norm_out.linear", "norm_out_linear")
+    k = k.replace("norm_out.norm", "norm_out_norm")
+    k = re.sub(r"\bff\.net\.0\.proj\b", "ff_0", k)
+    k = re.sub(r"\bff\.net\.2\b", "ff_2", k)
+    return k
+
+
+def port_cogvideox(state_dict, template, strict: bool = True):
+    return port_state_dict(state_dict, template, key_map=cogvideox_key_map, strict=strict)

@@ -139,3 +139,31 @@ class TestCLIPPorting:
                 hf[k] = v  # visual_projection
         back = porting.port_clip_vision(hf, params)
         _assert_trees_equal(params, back)
+
+
+class TestCogVideoXPorting:
+    def test_roundtrip(self):
+        from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+
+        model = CogVideoXTransformer3D(CogVideoXConfig.tiny())
+        dom = jnp.ones((1, 1, 48))
+        params = _randomize(model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 3, 4, 4, 8)), jnp.ones((1, 8, 64)),
+            jnp.zeros((1,)), domain_features=dom, flow_features=dom))
+
+        # export then restore true diffusers-style names for the cogvideox-specific bits
+        sd = porting.export_state_dict(params)
+        sd2 = {}
+        for k, v in sd.items():
+            k = k.replace("patch_embed_proj", "patch_embed.proj")
+            k = k.replace("patch_embed_text_proj", "patch_embed.text_proj")
+            k = k.replace("norm_out_linear", "norm_out.linear")
+            k = k.replace("norm_out_norm", "norm_out.norm")
+            k = k.replace(".ff_0.", ".ff.net.0.proj.").replace(".ff_2.", ".ff.net.2.")
+            if k.startswith("knowledge_fusion."):
+                kk = k[len("knowledge_fusion."):]
+                kk = kk.replace("fuse_sf_0", "fuse_sf.0").replace("fuse_sf_2", "fuse_sf.2")
+                k = "quaternion_lora_" + kk
+            sd2[k] = v
+        back = porting.port_cogvideox(sd2, params)
+        _assert_trees_equal(params, back)
