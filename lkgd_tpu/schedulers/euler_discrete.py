@@ -292,3 +292,14 @@ class EulerDiscreteScheduler:
         if len(candidates) == 0:
             raise ValueError(f"timestep {timestep} not in schedule")
         return int(candidates[1] if len(candidates) > 1 else candidates[0])
+
+
+def config_from_diffusers_json(path: str) -> EulerDiscreteConfig:
+    """Build a scheduler config from a diffusers scheduler_config.json (the reference's
+    load_scheduler interop, utils/util.py:886)."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    fields = {f.name for f in dataclasses.fields(EulerDiscreteConfig)}
+    return EulerDiscreteConfig(**{k: v for k, v in d.items() if k in fields})

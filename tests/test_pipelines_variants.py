@@ -127,3 +127,37 @@ def test_flow_codec_roundtrip():
     np.testing.assert_allclose(
         np.asarray(flow_squeeze_polar(flow_expand_polar(flow))), np.asarray(flow),
         rtol=1e-4, atol=1e-4)
+
+
+def test_trans_plus_controlnet():
+    """trans + ControlNet combined (reference pipeline_..._trans_controlnet.py): joint
+    UNet + 2-stream image batch through the ControlNet pipeline."""
+    from lkgd_tpu.models.controlnet_svd import ControlNetSDVConfig
+
+    cn_cfg = ControlNetSDVConfig(unet=JOINT_UNET,
+                                 conditioning_embedding_out_channels=(16, 32, 96))
+    pipe = StableVideoDiffusionControlNetPipeline(
+        config=PCFG, unet_config=JOINT_UNET, controlnet_config=cn_cfg,
+        controlnet_cond_scale=0.5, controlnet_scale=0.8, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    imgs = rng_img.uniform(size=(2, 64, 64, 3)).astype(np.float32)  # [start, end]
+    ctrl = rng_img.uniform(size=(4, 64, 64, 3)).astype(np.float32)
+    out = pipe(params, imgs, control=ctrl)
+    assert out.shape == (2, 4, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_scheduler_config_json(tmp_path):
+    import json
+
+    from lkgd_tpu.schedulers.euler_discrete import config_from_diffusers_json
+
+    cfg = {"num_train_timesteps": 1000, "beta_start": 0.00085, "beta_end": 0.012,
+           "beta_schedule": "scaled_linear", "prediction_type": "v_prediction",
+           "use_karras_sigmas": True, "sigma_min": 0.002, "sigma_max": 700.0,
+           "timestep_spacing": "leading", "timestep_type": "continuous",
+           "steps_offset": 1, "_class_name": "EulerDiscreteScheduler"}
+    p = tmp_path / "scheduler_config.json"
+    p.write_text(json.dumps(cfg))
+    c = config_from_diffusers_json(str(p))
+    assert c.sigma_max == 700.0 and c.prediction_type == "v_prediction"
