@@ -123,6 +123,164 @@ def _pick_block(s: int, preferred=(1024, 512, 256, 128)) -> int:
     return 0
 
 
+# ------------------------------------------------------------------ backward pass
+# Standard flash-attention VJP with the log2-domain logsumexp saved by the forward:
+#   P_ij = exp2(s2_ij - L2_i)   (== natural softmax probabilities)
+#   dV = P^T dO;  dP = dO V^T;  dS = P * (dP - delta),  delta_i = rowsum(dO * O)_i
+#   dQ = dS K * scale;  dK = dS^T Q * scale
+_LOG2E = 1.4426950408889634
+
+
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k):
+    s_k = k_ref.shape[1]
+    n_k = s_k // block_k
+    q = q_ref[0]
+
+    def k_loop(ki, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_next, l_next, acc
+
+    m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_k, k_loop, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log2(l))[:, 0]  # log2-domain logsumexp (BQ,)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+                         scale, block_k):
+    s_k = k_ref.shape[1]
+    n_k = s_k // block_k
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]  # (BQ, 1)
+    delta = delta_ref[0][:, None]
+
+    def k_loop(ki, dq):
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse)  # (BQ, BK)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, n_k, k_loop, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                          *, scale, block_q):
+    s_q = q_ref.shape[1]
+    n_q = s_q // block_q
+    k = k_ref[0]
+    v = v_ref[0]
+
+    def q_loop(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        p = jnp.exp2(s - lse)  # (BQ, BK)
+        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)  # (BQ, BK)
+        dk = dk + jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros(k.shape, jnp.float32)
+    dv0 = jnp.zeros(v.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_q, q_loop, (dk0, dv0))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k):
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    kernel = functools.partial(_flash_fwd_lse_kernel, scale=d**-0.5, block_k=block_k)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, s_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, block_q), lambda b, i: (b, i))),
+        out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, s_q), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_bwd_bhsd(q, k, v, do, lse, delta, block_q, block_k):
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=d**-0.5, block_k=block_k),
+        grid=(bh, s_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=d**-0.5, block_q=block_q),
+        grid=(bh, s_k // block_k),
+        in_specs=[
+            pl.BlockSpec((1, s_q, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, s_q, d), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, s_q), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, s_q), lambda b, j: (b, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
+                   pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0))),
+        out_shape=(jax.ShapeDtypeStruct((bh, s_k, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s_k, d), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 def _vmem_bytes(bq: int, bk: int, d: int) -> int:
     """Rough VMEM footprint: double-buffered q/k/v/o blocks (bf16) + m/l/acc scratch +
     fp32 logits/probs intermediates."""
@@ -188,8 +346,31 @@ def supports(q_shape, k_shape) -> bool:
     return bq > 0
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_core(qt, kt, vt, block_q, block_k):
+    return _flash_bhsd(qt, kt, vt, block_q, block_k)
+
+
+def _flash_core_fwd(qt, kt, vt, block_q, block_k):
+    out, lse = _flash_fwd_lse_bhsd(qt, kt, vt, block_q, block_k)
+    return out, (qt, kt, vt, out, lse)
+
+
+def _flash_core_bwd(block_q, block_k, res, g):
+    qt, kt, vt, out, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (BH, S)
+    dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, g.astype(qt.dtype), lse, delta,
+                                 block_q, block_k)
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """(B, S, H, D) softmax attention via the Pallas kernel."""
+    """(B, S, H, D) softmax attention via the Pallas kernel. Differentiable: a custom VJP
+    recomputes the probabilities per block from the saved logsumexp (standard flash
+    backward; two kernels for dQ and dK/dV)."""
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
     bq, bk = _pick_blocks(s_q, s_k, d)
@@ -198,5 +379,5 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    out = _flash_bhsd(qt, kt, vt, bq, bk)
+    out = _flash_core(qt, kt, vt, bq, bk)
     return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)

@@ -35,3 +35,39 @@ def test_cross_attention_shapes_interpret():
         out = fa.flash_attention(q, k, v)
     ref = _xla_attention(q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_backward_matches_xla_interpret():
+    """Flash custom VJP vs autodiff through the XLA reference (interpret mode)."""
+    rng = np.random.default_rng(2)
+    B, S, H, D = 1, 256, 2, 32
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+               for _ in range(3))
+    tangent = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) * tangent)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, None) * tangent)
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=2e-3, atol=2e-4)
+
+
+def test_fwd_lse_consistent_interpret():
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(4, 256, 16)).astype(np.float32))
+               for _ in range(3))
+    with pltpu.force_tpu_interpret_mode():
+        out1 = fa._flash_bhsd(q, k, v, 128, 128)
+        out2, lse = fa._flash_fwd_lse_bhsd(q, k, v, 128, 128)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-5, atol=1e-6)
+    # lse == log2(sum exp2(s2)): check against direct computation
+    s2 = np.einsum("bqd,bkd->bqk", np.asarray(q), np.asarray(k)) * (16**-0.5) * 1.4426950408889634
+    want = np.log2(np.exp2(s2 - s2.max(-1, keepdims=True)).sum(-1)) + s2.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), want, rtol=1e-4, atol=1e-4)
