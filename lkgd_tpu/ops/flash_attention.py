@@ -131,7 +131,9 @@ def _pick_block(s: int, preferred=(1024, 512, 256, 128)) -> int:
 _LOG2E = 1.4426950408889634
 
 
-def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k):
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
+                          block_q):
+    i = pl.program_id(1)
     s_k = k_ref.shape[1]
     n_k = s_k // block_k
     q = q_ref[0]
@@ -157,17 +159,20 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k
     acc0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_k, k_loop, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log2(l))[:, 0]  # log2-domain logsumexp (BQ,)
+    # log2-domain logsumexp; lse lives as (BH, 1, S) (full-row block, sliced per q block
+    # — 2D (1, BQ) output blocks violate the TPU (8, 128) tiling rule)
+    lse_ref[0, 0, pl.ds(i * block_q, block_q)] = (m + jnp.log2(l))[:, 0]
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                         scale, block_k):
+                         scale, block_k, block_q):
+    i = pl.program_id(1)
     s_k = k_ref.shape[1]
     n_k = s_k // block_k
     q = q_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]  # (BQ, 1)
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]  # (BQ, 1)
+    delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
 
     def k_loop(ki, dq):
         k = k_ref[0, pl.ds(ki * block_k, block_k), :]
@@ -196,8 +201,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * block_q, block_q), :]
         do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qi * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(qi * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
         p = jnp.exp2(s - lse)  # (BQ, BK)
@@ -221,8 +226,9 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
 def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
-    kernel = functools.partial(_flash_fwd_lse_kernel, scale=d**-0.5, block_k=block_k)
-    return pl.pallas_call(
+    kernel = functools.partial(_flash_fwd_lse_kernel, scale=d**-0.5, block_k=block_k,
+                               block_q=block_q)
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, s_q // block_q),
         in_specs=[
@@ -231,12 +237,13 @@ def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k):
             pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-                   pl.BlockSpec((1, block_q), lambda b, i: (b, i))),
+                   pl.BlockSpec((1, 1, s_q), lambda b, i: (b, 0, 0))),
         out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, s_q), jnp.float32)),
+                   jax.ShapeDtypeStruct((bh, 1, s_q), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(q, k, v)
+    return out, lse
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -244,15 +251,16 @@ def _flash_bwd_bhsd(q, k, v, do, lse, delta, block_q, block_k):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=d**-0.5, block_k=block_k),
+        functools.partial(_flash_bwd_dq_kernel, scale=d**-0.5, block_k=block_k,
+                          block_q=block_q),
         grid=(bh, s_q // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i)),
+            pl.BlockSpec((1, 1, s_q), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, s_q), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
@@ -268,8 +276,8 @@ def _flash_bwd_bhsd(q, k, v, do, lse, delta, block_q, block_k):
             pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, s_q, d), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, s_q), lambda b, j: (b, 0)),
-            pl.BlockSpec((1, s_q), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, 1, s_q), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, s_q), lambda b, j: (b, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0)),
                    pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0))),
@@ -359,7 +367,7 @@ def _flash_core_fwd(qt, kt, vt, block_q, block_k):
 def _flash_core_bwd(block_q, block_k, res, g):
     qt, kt, vt, out, lse = res
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (BH, S)
-    dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, g.astype(qt.dtype), lse, delta,
+    dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, g.astype(qt.dtype), lse, delta[:, None, :],
                                  block_q, block_k)
     return dq, dk, dv
 
