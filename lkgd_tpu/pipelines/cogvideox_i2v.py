@@ -60,8 +60,12 @@ class CogVideoXImageToVideoPipeline:
     def __init__(self, config: CogVideoXPipelineConfig = CogVideoXPipelineConfig(),
                  transformer_config: CogVideoXConfig = CogVideoXConfig(),
                  scheduler_config: CogVideoXDDIMConfig = CogVideoXDDIMConfig(),
-                 dtype: jnp.dtype = jnp.bfloat16):
+                 dtype: jnp.dtype = jnp.bfloat16, mesh=None):
+        """``mesh``: optional Mesh for SPMD inference (the xDiT analog): CFG batch shards
+        over 'data', latent frames over 'context' (XLA inserts the collectives the joint
+        text+video attention needs)."""
         self.config = config
+        self.mesh = mesh
         self.dtype = dtype
         self.transformer = CogVideoXTransformer3D(transformer_config, dtype=dtype)
         self.scheduler = CogVideoXDDIMScheduler(scheduler_config)
@@ -87,6 +91,16 @@ class CogVideoXImageToVideoPipeline:
         latents = jax.random.normal(
             rng, (b, f, cfg.latent_height, cfg.latent_width,
                   self.transformer.config.out_channels), jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = [None] * latents.ndim
+            if "data" in self.mesh.axis_names and latents.shape[0] % self.mesh.shape["data"] == 0:
+                axes[0] = "data"
+            if "context" in self.mesh.axis_names and f % self.mesh.shape["context"] == 0:
+                axes[1] = "context"
+            latents = jax.lax.with_sharding_constraint(
+                latents, NamedSharding(self.mesh, P(*axes)))
 
         # image conditioning: first-frame latents, zeros for the rest (I2V)
         img = jnp.concatenate([

@@ -101,3 +101,18 @@ class TestPipelineAndTraining:
             state, loss = step(state, batch, k)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+def test_cogvideox_mesh_inference():
+    from lkgd_tpu.parallel.mesh import make_mesh, replicated
+
+    mesh = make_mesh({"data": 2, "context": 4})
+    # (29-1)/4+1 = 8 latent frames -> divisible by context=4
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=29,
+                                   num_inference_steps=2)
+    pipe = CogVideoXImageToVideoPipeline(pcfg, TCFG, dtype=jnp.float32, mesh=mesh)
+    with jax.set_mesh(mesh):
+        params = jax.device_put(pipe.init_params(jax.random.PRNGKey(0)), replicated(mesh))
+        out = pipe(params, jnp.ones((1, 8, 64)), jnp.ones((1, 4, 4, 4)))
+    assert out.shape == (1, 8, 4, 4, 4)
+    assert np.isfinite(out).all()
