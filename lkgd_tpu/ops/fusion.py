@@ -117,8 +117,15 @@ class LatentKnowledgeFusion(nn.Module):
         mags, phas = [], []
         for t in (lh, ld, lf):
             re, im = rfft_real(t)
-            mags.append(jnp.sqrt(re * re + im * im))
-            phas.append(jnp.arctan2(im, re))
+            mag2 = re * re + im * im
+            # grad-safe magnitude/phase: sqrt and arctan2 have NaN gradients at the
+            # origin (zero bins occur for constant feature vectors — e.g. fully-masked
+            # conditioning); guard with eps / branch-safe where
+            mags.append(jnp.sqrt(mag2 + 1e-20))
+            safe = mag2 > 1e-20
+            re_s = jnp.where(safe, re, 1.0)
+            im_s = jnp.where(safe, im, 0.0)
+            phas.append(jnp.arctan2(im_s, re_s))
         ctx_mag = jnp.broadcast_to(
             self.param("texts_fft_mag", nn.initializers.zeros, (n_bins,)), mags[0].shape)
         ctx_pha = jnp.broadcast_to(

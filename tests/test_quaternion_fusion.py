@@ -157,3 +157,15 @@ class TestRealFFT:
         spec = (rng.normal(size=(2, 3, 129)) + 1j * rng.normal(size=(2, 3, 129))).astype(np.complex64)
         got = irfft_real(jnp.asarray(spec.real), jnp.asarray(spec.imag))
         np.testing.assert_allclose(np.asarray(got), np.fft.irfft(spec, axis=-1), rtol=1e-4, atol=1e-4)
+
+
+class TestFusionGradSafety:
+    def test_constant_input_gradients_finite(self):
+        """sqrt/arctan2 at zero FFT bins must not produce NaN gradients (constant feature
+        vectors — e.g. fully-dropped conditioning — hit exactly this)."""
+        m = LatentKnowledgeFusion(ctx_dim=64)
+        ctx = jnp.ones((2, 1, 64))
+        dom = jnp.ones((2, 1, 48))
+        params = m.init(jax.random.PRNGKey(0), ctx, dom, dom)
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, ctx, dom, dom) ** 2))(params)
+        assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
