@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))
     reps = int(os.environ.get("LKGD_BENCH_REPS", "3"))
 

@@ -94,6 +94,9 @@ def load_params(pipe, args):
 
 
 def main():
+    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["base", "trans", "flow", "smooth"], default="base")
     p.add_argument("--image", required=True)

@@ -15,6 +15,9 @@ import argparse
 
 
 def main():
+    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--cache", required=True, help="tensor cache with latents/prompt_embeds")
     p.add_argument("--output-dir", default="output_cogvideox_lora")

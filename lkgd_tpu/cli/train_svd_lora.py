@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--video-folder", required=True)
     p.add_argument("--output-dir", default="output_svd_lora")
