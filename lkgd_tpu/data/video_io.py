@@ -5,7 +5,7 @@ readers at `/root/reference/utils/dataset.py:7-95` and the writers at
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

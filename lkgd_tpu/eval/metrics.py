@@ -10,7 +10,7 @@ built-in extractor, i.e. CLIP-FID/CLIP-FVD).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

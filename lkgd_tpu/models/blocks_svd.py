@@ -14,10 +14,9 @@ Layout conventions:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, EMPTY_ROUTER
@@ -25,7 +24,6 @@ from lkgd_tpu.models.layers import (
     AdaLayerNormContinuous,
     AlphaBlender,
     Attention,
-    DenseWithLora,
     FeedForward,
     GroupNorm,
     LayerNorm,

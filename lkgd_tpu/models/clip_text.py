@@ -12,9 +12,8 @@ import dataclasses
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
-from lkgd_tpu.models.clip_vision import CLIPEncoderLayer, CLIPVisionConfig
+from lkgd_tpu.models.clip_vision import CLIPVisionConfig
 from lkgd_tpu.models.layers import LayerNorm
 
 

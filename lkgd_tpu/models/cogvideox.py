@@ -20,7 +20,6 @@ import dataclasses
 from typing import Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from lkgd_tpu.models.configs import LoraRouter, EMPTY_ROUTER

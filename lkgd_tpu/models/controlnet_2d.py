@@ -4,7 +4,7 @@ conditioning_channels, used by the inpaint+controlnet pipelines)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

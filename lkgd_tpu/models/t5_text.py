@@ -8,8 +8,6 @@ precomputed embeddings, so the encoder is only needed at prompt-encoding time.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

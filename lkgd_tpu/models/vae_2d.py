@@ -7,7 +7,6 @@ SD VAE; this pairs models.vae_temporal.Encoder with a plain 2D decoder.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ The reference relies on xformers memory-efficient attention CUDA kernels
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

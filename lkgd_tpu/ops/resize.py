@@ -14,7 +14,6 @@ max(4*sigma, 3) rounded odd, reflect padding; bicubic a = -0.75, align_corners=T
 from __future__ import annotations
 
 import functools
-import math
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ Both are written against ``shard_map`` so XLA sees the collectives explicitly.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -15,7 +15,6 @@ directly (the reference trainer precomputes latents the same way —
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import jax

@@ -15,8 +15,7 @@ Pipelines provided (reference file → class):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

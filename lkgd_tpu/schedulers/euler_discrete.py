@@ -23,7 +23,6 @@ import dataclasses
 import math
 from typing import NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

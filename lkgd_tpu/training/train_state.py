@@ -14,7 +14,7 @@ mask over param-path predicates; frozen params get zero updates and stay bit-ide
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

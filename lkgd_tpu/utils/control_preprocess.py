@@ -5,7 +5,7 @@ estimators (e.g. our UniMatch for flow, a ported Depth-Anything) slot in)."""
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

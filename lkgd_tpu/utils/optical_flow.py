@@ -9,13 +9,12 @@ GPU memory — unnecessary here, but ``chunk_pairs`` is kept for parity on small
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from lkgd_tpu.models.unimatch import UniMatch, UniMatchConfig
+from lkgd_tpu.models.unimatch import UniMatch
 
 FLOW_MEAN = -0.010683227330446243  # reference utils/optical_flow.py:11
 FLOW_STD = 5.01635217666626

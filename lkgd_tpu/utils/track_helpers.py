@@ -4,7 +4,7 @@ joint trainer `train_track_lora_joint.py` and TrackDataset `utils/dataset.py:997
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
