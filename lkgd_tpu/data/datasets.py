@@ -256,3 +256,45 @@ class PrefetchLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class BucketedLoader:
+    """Resolution-bucketed batching (reference CogVideo
+    `finetune/datasets/bucket_sampler.py:10-60`): samples are grouped by their
+    pixel_values shape so every emitted batch is shape-homogeneous — under jit each bucket
+    compiles once and is reused (the TPU-native reading of bucketed sampling).
+
+    Wraps any dataset; batches are emitted when a bucket fills.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+                 key: str = "pixel_values", drop_keys: Sequence[str] = ("caption",)):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.key = key
+        self.drop_keys = set(drop_keys)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(len(self.dataset))
+        epoch = 0
+        buckets: Dict[tuple, list] = {}
+        while True:
+            order = idx.copy()
+            if self.shuffle:
+                np.random.default_rng(self.seed + epoch).shuffle(order)
+            for i in order:
+                sample = self.dataset[int(i)]
+                shape = tuple(np.asarray(sample[self.key]).shape)
+                buckets.setdefault(shape, []).append(sample)
+                if len(buckets[shape]) == self.batch_size:
+                    samples = buckets.pop(shape)
+                    batch = {}
+                    for k in samples[0]:
+                        if k in self.drop_keys:
+                            batch[k] = [s[k] for s in samples]
+                        else:
+                            batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+                    yield batch
+            epoch += 1

@@ -155,3 +155,27 @@ class TestDataLayer:
         assert motion2bucket(bucket2motion(127)) == 127
         score = motion2flow(7.0, 127)
         assert 0 <= flow2motion(7.0, score) <= 255
+
+
+class TestBucketedLoader:
+    def test_buckets_are_shape_homogeneous(self):
+        from lkgd_tpu.data.datasets import BucketedLoader
+
+        class MultiResDataset:
+            shapes = [(4, 16, 16, 3), (4, 8, 8, 3)]
+
+            def __len__(self):
+                return 12
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return {"pixel_values": rng.normal(size=self.shapes[i % 2]).astype(np.float32)}
+
+        loader = BucketedLoader(MultiResDataset(), batch_size=3)
+        it = iter(loader)
+        seen = set()
+        for _ in range(4):
+            b = next(it)["pixel_values"]
+            assert b.shape[0] == 3
+            seen.add(b.shape[1:])
+        assert seen == {(4, 16, 16, 3), (4, 8, 8, 3)}
