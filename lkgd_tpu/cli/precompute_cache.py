@@ -58,11 +58,11 @@ def main():
                     clip_params = loaded
 
     @jax.jit
-    def encode(frames):  # (T, H, W, 3) in [-1, 1]
-        lat = vae.apply(vae_params, frames, method=AutoencoderKLTemporalDecoder.encode_mode)
+    def encode(vp, cp, frames):  # params as ARGS (closing over them captures GBs of constants)
+        lat = vae.apply(vp, frames, method=AutoencoderKLTemporalDecoder.encode_mode)
         cond = lat[0] * 1.0  # first-frame cond latents (unscaled)
         x = resize_with_antialiasing(frames[:1], (224, 224))
-        emb = clip.apply(clip_params, clip_normalize((x + 1.0) / 2.0))
+        emb = clip.apply(cp, clip_normalize((x + 1.0) / 2.0))
         return lat * 0.18215, cond, emb
 
     cache = TensorCache(args.output)
@@ -76,7 +76,7 @@ def main():
             print(f"skip {name}: only {len(frames)} frames")
             continue
         proc = process_frames(frames[: args.num_frames], args.height, args.width)
-        lat, cond, emb = encode(jnp.asarray(proc * 2.0 - 1.0))
+        lat, cond, emb = encode(vae_params, clip_params, jnp.asarray(proc * 2.0 - 1.0))
         cache.put(f"{name}/latents", np.asarray(lat))
         cache.put(f"{name}/cond_latents", np.asarray(cond))
         cache.put(f"{name}/image_embeddings", np.asarray(emb)[:, None])  # (1, 1, D)

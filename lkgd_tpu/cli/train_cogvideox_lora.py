@@ -50,7 +50,36 @@ def main():
            else CogVideoXConfig.cogvideox_5b_i2v(lora=lora))
     model = CogVideoXTransformer3D(cfg, dtype=jnp.bfloat16 if not args.tiny else jnp.float32)
 
-    ds = PrecomputedLatentDataset(args.cache)
+    class _Adapted:
+        """Adapt cache field names: SVD-flavored caches store cond_latents /
+        image_embeddings; the CogVideoX step wants image_latents / prompt_embeds."""
+
+        def __init__(self, base, text_dim):
+            self.base = base
+            self.text_dim = text_dim
+
+        def __len__(self):
+            return len(self.base)
+
+        def __getitem__(self, i):
+            s = dict(self.base[i])
+            if "image_latents" not in s and "cond_latents" in s:
+                s["image_latents"] = s.pop("cond_latents")
+            if "prompt_embeds" not in s:
+                emb = s.get("image_embeddings")
+                if emb is not None:
+                    import numpy as _np
+
+                    e = _np.asarray(emb).reshape(-1)
+                    reps = -(-self.text_dim // e.size)
+                    s["prompt_embeds"] = _np.tile(e, reps)[: self.text_dim][None, :].repeat(
+                        8, 0).astype(_np.float32)
+                else:
+                    raise KeyError("cache lacks prompt_embeds/image_embeddings")
+            s.pop("image_embeddings", None)
+            return s
+
+    ds = _Adapted(PrecomputedLatentDataset(args.cache), 64 if args.tiny else 4096)
     if len(ds) == 0:
         raise SystemExit("cache has no samples with latents")
     sample = ds[0]
