@@ -112,23 +112,23 @@ def main():
     scaling = 0.18215
 
     @jax.jit
-    def preprocess(pixel_values, rng):
-        # pixel_values (B, T+1, H, W, 3) in [-1, 1]
+    def preprocess(vp, cp, vitp, pixel_values, rng):
+        # frozen-encoder params travel as ARGS (closing over them captures ~5 GB of
+        # constants into the jaxpr). pixel_values (B, T+1, H, W, 3) in [-1, 1].
         frames = pixel_values[:, :-1]
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
-        latents = vae.apply(vae_params, flat,
-                            method=AutoencoderKLTemporalDecoder.encode_mode)
+        latents = vae.apply(vp, flat, method=AutoencoderKLTemporalDecoder.encode_mode)
         latents = latents.reshape((b, t) + latents.shape[1:]) * scaling
         cond_img = frames[:, 0]
         noise = jax.random.normal(rng, cond_img.shape) * 0.02
-        cond_latents = vae.apply(vae_params, cond_img + noise,
+        cond_latents = vae.apply(vp, cond_img + noise,
                                  method=AutoencoderKLTemporalDecoder.encode_mode)
         raw01 = (frames + 1.0) / 2.0
         clip_in = resize_with_antialiasing(raw01[:, 0] * 2.0 - 1.0, (224, 224))
         clip_in = clip_normalize((clip_in + 1.0) / 2.0)
-        emb = clip.apply(clip_params, clip_in)[:, None, :]
-        domain = encode_knowledge_features(domain_vit, vit_params, frames)
+        emb = clip.apply(cp, clip_in)[:, None, :]
+        domain = encode_knowledge_features(domain_vit, vitp, frames)
         return {"latents": latents, "cond_latents": cond_latents,
                 "image_embeddings": emb, "domain_features": domain,
                 "flow_features": domain}
@@ -140,7 +140,7 @@ def main():
 
     def train_step(state, batch, rng):
         r1, r2 = jax.random.split(rng)
-        proc = preprocess(batch["pixel_values"], r1)
+        proc = preprocess(vae_params, clip_params, vit_params, batch["pixel_values"], r1)
         return train_step_core(state, proc, r2)
 
     mesh = meshlib.make_mesh()

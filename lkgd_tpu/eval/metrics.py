@@ -74,12 +74,12 @@ def make_clip_feature_extractor(clip_model, clip_params):
     size = clip_model.config.image_size
 
     @jax.jit
-    def extract(images):
+    def _extract(params, images):  # params as args: closing over them captures GBs
         x = resize_with_antialiasing(images.astype(jnp.float32), (size, size))
-        emb = clip_model.apply(clip_params, clip_normalize(x))
+        emb = clip_model.apply(params, clip_normalize(x))
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
-    return extract
+    return lambda images: _extract(clip_params, images)
 
 
 # ------------------------------------------------------------------ CLIP score + aesthetics
