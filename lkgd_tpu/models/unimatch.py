@@ -349,6 +349,107 @@ def local_correlation_softmax(feature0: jnp.ndarray, feature1: jnp.ndarray, radi
     return (correspondence - coords_grid(h, w).reshape(1, h * w, 2)).reshape(b, h, w, 2)
 
 
+def global_correlation_softmax_stereo(feature0: jnp.ndarray, feature1: jnp.ndarray
+                                      ) -> jnp.ndarray:
+    """Horizontal-only global matching for rectified stereo (matching.py:126-151).
+
+    Candidate positions to the RIGHT of the query are masked out so disparity
+    (x_query - x_match) stays positive. (B,H,W,C) -> disparity (B,H,W,1).
+    """
+    b, h, w, c = feature0.shape
+    corr = jnp.einsum("bhic,bhjc->bhij", feature0, feature1,
+                      preferred_element_type=jnp.float32) / (c**0.5)  # (B,H,W,W)
+    xg = jnp.arange(w, dtype=jnp.float32)
+    invalid = xg[None, :] > xg[:, None]  # match col j right of query col i
+    corr = jnp.where(invalid, -1e9, corr)
+    prob = jax.nn.softmax(corr, axis=-1)
+    correspondence = jnp.einsum("bhij,j->bhi", prob, xg)
+    disparity = xg[None, None, :] - correspondence
+    return disparity[..., None]
+
+
+def local_correlation_softmax_stereo(feature0: jnp.ndarray, feature1: jnp.ndarray,
+                                     radius: int) -> jnp.ndarray:
+    """1D horizontal window matching for stereo (matching.py:154-200).
+    (B,H,W,C) -> disparity (B,H,W,1)."""
+    b, h, w, c = feature0.shape
+    ox = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    offsets = jnp.stack([ox, jnp.zeros_like(ox)], axis=-1)  # (2R+1, 2) x-only
+    grid = coords_grid(h, w).reshape(1, h * w, 1, 2)
+    coords = jnp.tile(grid + offsets[None, None], (b, 1, 1, 1))
+    valid = ((coords[..., 0] >= 0) & (coords[..., 0] <= w - 1)
+             & (coords[..., 1] >= 0) & (coords[..., 1] <= h - 1))
+    sampled = bilinear_sample(feature1, coords)  # (B, HW, 2R+1, C)
+    f0 = feature0.reshape(b, h * w, 1, c)
+    corr = jnp.einsum("blxc,blyc->bly", f0, sampled,
+                      preferred_element_type=jnp.float32) / (c**0.5)
+    corr = jnp.where(valid, corr, -1e9)
+    prob = jax.nn.softmax(corr, axis=-1)
+    correspondence = jnp.einsum("bly,blyx->blx", prob, coords)  # (B, HW, 2)
+    disparity = -(correspondence - coords_grid(h, w).reshape(1, h * w, 2))[..., 0]
+    return disparity.reshape(b, h, w, 1)
+
+
+def warp_with_pose_depth_candidates(feature1: jnp.ndarray, intrinsics: jnp.ndarray,
+                                    pose: jnp.ndarray, depth: jnp.ndarray,
+                                    clamp_min_depth: float = 1e-3) -> jnp.ndarray:
+    """Plane-sweep warp (matching.py:239-285): back-project each pixel at every depth
+    candidate, transform by the relative pose, reproject, and sample feature1.
+
+    feature1 (B,H,W,C), intrinsics (B,3,3), pose (B,4,4) source->target,
+    depth (B,D,H,W) ACTUAL depth. Returns (B, D, H*W, C).
+    """
+    b, d, h, w = depth.shape
+    grid = coords_grid(h, w).reshape(-1, 2)  # (HW, 2) xy
+    homo = jnp.concatenate([grid, jnp.ones((h * w, 1), jnp.float32)], axis=-1).T  # (3, HW)
+    rays = jnp.einsum("bij,jn->bin", jnp.linalg.inv(intrinsics), homo)  # (B,3,HW)
+    rot = jnp.einsum("bij,bjn->bin", pose[:, :3, :3], rays)
+    pts = rot[:, :, None, :] * depth.reshape(b, 1, d, h * w)  # (B,3,D,HW)
+    pts = pts + pose[:, :3, 3][:, :, None, None]
+    proj = jnp.einsum("bij,bjdn->bidn", intrinsics, pts)  # (B,3,D,HW)
+    pix = proj[:, :2] / jnp.maximum(proj[:, 2:3], clamp_min_depth)
+    coords = jnp.moveaxis(pix, 1, -1)  # (B,D,HW,2)
+    return bilinear_sample(feature1, coords)  # (B,D,HW,C)
+
+
+def correlation_softmax_depth(feature0: jnp.ndarray, feature1: jnp.ndarray,
+                              intrinsics: jnp.ndarray, pose: jnp.ndarray,
+                              depth_candidates: jnp.ndarray,
+                              depth_from_argmax: bool = False) -> jnp.ndarray:
+    """Plane-sweep matching (matching.py:203-236). depth_candidates (B,D,H,W) are
+    INVERSE depths; returns the matched inverse depth (B,H,W,1)."""
+    b, h, w, c = feature0.shape
+    d = depth_candidates.shape[1]
+    warped = warp_with_pose_depth_candidates(feature1, intrinsics, pose,
+                                             1.0 / depth_candidates)  # (B,D,HW,C)
+    corr = jnp.einsum("bnc,bdnc->bdn", feature0.reshape(b, h * w, c), warped,
+                      preferred_element_type=jnp.float32) / (c**0.5)
+    prob = jax.nn.softmax(corr, axis=1)  # over candidates
+    cand = depth_candidates.reshape(b, d, h * w)
+    if depth_from_argmax:
+        idx = jnp.argmax(prob, axis=1, keepdims=True)
+        depth = jnp.take_along_axis(cand, idx, axis=1)[:, 0]
+    else:
+        depth = jnp.sum(prob * cand, axis=1)
+    return depth.reshape(b, h, w, 1)
+
+
+def compute_flow_with_depth_pose(depth: jnp.ndarray, intrinsics: jnp.ndarray,
+                                 pose: jnp.ndarray) -> jnp.ndarray:
+    """Rigid flow induced by depth + relative pose (geometry.py:175-195).
+    depth (B,H,W) ACTUAL depth -> flow (B,H,W,2)."""
+    b, h, w = depth.shape
+    grid = coords_grid(h, w).reshape(-1, 2)
+    homo = jnp.concatenate([grid, jnp.ones((h * w, 1), jnp.float32)], axis=-1).T
+    rays = jnp.einsum("bij,jn->bin", jnp.linalg.inv(intrinsics), homo)
+    rot = jnp.einsum("bij,bjn->bin", pose[:, :3, :3], rays)
+    pts = rot * depth.reshape(b, 1, h * w) + pose[:, :3, 3][:, :, None]
+    proj = jnp.einsum("bij,bjn->bin", intrinsics, pts)
+    pix = proj[:, :2] / jnp.maximum(proj[:, 2:3], 1e-3)
+    reproj = jnp.moveaxis(pix, 1, -1).reshape(b, h, w, 2)
+    return reproj - coords_grid(h, w)[None]
+
+
 def local_correlation_with_flow(feature0, feature1, flow, radius: int) -> jnp.ndarray:
     """Correlation volume at flow-shifted windows (matching.py:88-130) ->
     (B, H, W, (2R+1)^2)."""
@@ -376,9 +477,10 @@ class SelfAttnPropagation(nn.Module):
     def __call__(self, feature0: jnp.ndarray, flow: jnp.ndarray,
                  local_window_radius: int = -1) -> jnp.ndarray:
         b, h, w, c = feature0.shape
+        vc = flow.shape[-1]  # 2 for flow, 1 for disparity / inverse depth
         q = nn.Dense(c, dtype=self.dtype, name="q_proj")(feature0.reshape(b, h * w, c))
         k = nn.Dense(c, dtype=self.dtype, name="k_proj")(q)
-        v = flow.reshape(b, h * w, 2)
+        v = flow.reshape(b, h * w, vc)
         if local_window_radius > 0:
             r = local_window_radius
             win = 2 * r + 1
@@ -389,14 +491,14 @@ class SelfAttnPropagation(nn.Module):
             coords = jnp.tile(coords, (b, 1, 1, 1))
             # zero-padded neighborhood gathers (reference uses F.unfold = zero pad)
             k_win = bilinear_sample(k.reshape(b, h, w, c), coords)  # (B, HW, win^2, C)
-            v_win = bilinear_sample(flow, coords)  # (B, HW, win^2, 2)
+            v_win = bilinear_sample(flow, coords)  # (B, HW, win^2, vc)
             logits = jnp.einsum("blc,blyc->bly", q, k_win,
                                 preferred_element_type=jnp.float32) / (c**0.5)
             prob = jax.nn.softmax(logits, axis=-1).astype(v_win.dtype)
             out = jnp.einsum("bly,blyx->blx", prob, v_win)
         else:
             out = _single_head_attention(q, k, v.astype(q.dtype))
-        return out.reshape(b, h, w, 2)
+        return out.reshape(b, h, w, vc)
 
 
 class ConvexUpsampler(nn.Module):
@@ -406,27 +508,32 @@ class ConvexUpsampler(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, flow: jnp.ndarray, feature: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, flow: jnp.ndarray, feature: jnp.ndarray,
+                 is_depth: bool = False) -> jnp.ndarray:
         k = self.upsample_factor
         x = jnp.concatenate([flow.astype(self.dtype), feature], axis=-1)
         x = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         mask = nn.Conv(k * k * 9, (1, 1), dtype=self.dtype, name="conv2")(x)
-        return upsample_flow_with_mask(flow, mask, k)
+        return upsample_flow_with_mask(flow, mask, k, scale_magnitude=not is_depth)
 
 
-def upsample_flow_with_mask(flow: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(B,H,W,2),(B,H,W,9*k*k) -> (B,k*H,k*W,2) convex combination of 3x3 neighbors."""
-    b, h, w, _ = flow.shape
+def upsample_flow_with_mask(flow: jnp.ndarray, mask: jnp.ndarray, k: int,
+                            scale_magnitude: bool = True) -> jnp.ndarray:
+    """(B,H,W,C),(B,H,W,9*k*k) -> (B,k*H,k*W,C) convex combination of 3x3 neighbors.
+    Flow/disparity magnitudes scale with resolution; depth does not (utils.py:134-160,
+    ``is_depth``)."""
+    b, h, w, c = flow.shape
     mask = mask.reshape(b, h, w, 9, k, k)
     mask = jax.nn.softmax(mask.astype(jnp.float32), axis=3)
     # 3x3 zero-padded neighborhoods of k*flow
-    fpad = jnp.pad(flow * k, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    fpad = jnp.pad(flow * k if scale_magnitude else flow,
+                   ((0, 0), (1, 1), (1, 1), (0, 0)))
     neighbors = jnp.stack([fpad[:, i:i + h, j:j + w] for i in range(3) for j in range(3)],
-                          axis=3)  # (B, H, W, 9, 2)
+                          axis=3)  # (B, H, W, 9, C)
     up = jnp.einsum("bhwnkl,bhwnx->bhwklx", mask, neighbors.astype(jnp.float32))
-    # (b, h, w, k, l, 2) -> (b, h, k, w, l, 2) -> (b, h*k, w*l, 2)
-    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * k, w * k, 2)
+    # (b, h, w, k, l, c) -> (b, h, k, w, l, c) -> (b, h*k, w*l, c)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * k, w * k, c)
 
 
 class SepConvGRU(nn.Module):
@@ -454,6 +561,8 @@ class BasicUpdateBlock(nn.Module):
 
     corr_channels: int
     downsample_factor: int
+    flow_dim: int = 2  # 1 for stereo disparity / inverse depth (reg_refine.py:83)
+    bilinear_up: bool = False  # depth model has no convex-mask head (reg_refine.py:98)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -463,17 +572,19 @@ class BasicUpdateBlock(nn.Module):
         c = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=self.dtype, name="convc2")(c))
         f = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=self.dtype, name="convf1")(flow.astype(self.dtype)))
         f = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype, name="convf2")(f))
-        m = nn.relu(nn.Conv(126, (3, 3), padding=1, dtype=self.dtype, name="conv")(
-            jnp.concatenate([c, f], axis=-1)))
+        m = nn.relu(nn.Conv(128 - self.flow_dim, (3, 3), padding=1, dtype=self.dtype,
+                            name="conv")(jnp.concatenate([c, f], axis=-1)))
         motion = jnp.concatenate([m, flow.astype(self.dtype)], axis=-1)  # 128 ch
 
         inp = jnp.concatenate([inp, motion], axis=-1)
         net = SepConvGRU(128, dtype=self.dtype, name="gru")(net, inp)
 
         dflow = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="flow_head_conv1")(net)
-        dflow = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="flow_head_conv2")(
-            nn.relu(dflow))
+        dflow = nn.Conv(self.flow_dim, (3, 3), padding=1, dtype=self.dtype,
+                        name="flow_head_conv2")(nn.relu(dflow))
 
+        if self.bilinear_up:
+            return net, None, dflow
         k = self.downsample_factor
         mask = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="mask_conv1")(net)
         mask = nn.Conv(k * k * 9, (1, 1), dtype=self.dtype, name="mask_conv2")(nn.relu(mask))
@@ -496,9 +607,29 @@ class UniMatch(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
-        """img0/img1: (B, H, W, 3) in [0, 255]. Returns flow (B, H, W, 2) in pixels."""
+    def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray, task: str = "flow",
+                 intrinsics: jnp.ndarray = None, pose: jnp.ndarray = None,
+                 min_depth: float = 1.0 / 0.5, max_depth: float = 1.0 / 10,
+                 num_depth_candidates: int = 64, depth_from_argmax: bool = False
+                 ) -> jnp.ndarray:
+        """img0/img1: (B, H, W, 3) in [0, 255] (we normalize internally for every task;
+        the reference normalizes stereo/depth in the dataloader, unimatch.py:122-124).
+
+        task='flow'   -> flow (B, H, W, 2) in pixels (unimatch.py:95-361)
+        task='stereo' -> positive disparity (B, H, W); img1 is the RIGHT view
+        task='depth'  -> depth (B, H, W); needs ``intrinsics`` (B,3,3) and relative
+                         ``pose`` (B,4,4); min/max_depth are INVERSE-depth range bounds.
+        Task is a static (trace-time) argument; the learnable parameters are
+        task-agnostic except the reg-refine update block (flow_dim differs).
+        """
         cfg = self.config
+        if task not in ("flow", "stereo", "depth"):
+            raise ValueError(f"unknown task {task!r}; expected flow|stereo|depth")
+        if task == "depth":
+            assert cfg.num_scales == 1, "multi-scale depth unsupported (unimatch.py:116)"
+            assert intrinsics is not None and pose is not None
+            inv_lo = min(min_depth, max_depth)
+            inv_hi = max(min_depth, max_depth)
         mean = jnp.asarray([0.485, 0.456, 0.406], img0.dtype) * 255
         std = jnp.asarray([0.229, 0.224, 0.225], img0.dtype) * 255
         img0 = (img0 - mean) / std
@@ -524,7 +655,11 @@ class UniMatch(nn.Module):
                 flow = _bilinear_resize_flow(flow, 2)
             if flow is not None:
                 flow = jax.lax.stop_gradient(flow)
-                feature1 = flow_warp(feature1, flow)
+                if task == "stereo":  # disparity -> horizontal displacement
+                    displace = jnp.concatenate([-flow, jnp.zeros_like(flow)], axis=-1)
+                    feature1 = flow_warp(feature1, displace)
+                else:
+                    feature1 = flow_warp(feature1, flow)
 
             attn_splits = cfg.attn_splits_list[scale_idx]
             corr_radius = cfg.corr_radius_list[scale_idx]
@@ -542,32 +677,92 @@ class UniMatch(nn.Module):
 
             feature0, feature1 = transformer(feature0, feature1, attn_splits)
 
-            if corr_radius == -1:
-                flow_pred = global_correlation_softmax(feature0, feature1)
+            if task == "depth":
+                ds = cfg.upsample_factor * 2 ** (cfg.num_scales - 1 - scale_idx)
+                intrinsics_curr = intrinsics.at[:, :2].set(intrinsics[:, :2] / ds)
+                cands = jnp.broadcast_to(
+                    jnp.linspace(min_depth, max_depth, num_depth_candidates,
+                                 dtype=jnp.float32).reshape(1, -1, 1, 1),
+                    (b, num_depth_candidates, h, w))
+                flow_pred = correlation_softmax_depth(
+                    feature0, feature1, intrinsics_curr, pose, cands, depth_from_argmax)
+            elif corr_radius == -1:
+                if task == "stereo":
+                    flow_pred = global_correlation_softmax_stereo(feature0, feature1)
+                else:
+                    flow_pred = global_correlation_softmax(feature0, feature1)
             else:
-                flow_pred = local_correlation_softmax(feature0, feature1, corr_radius)
+                if task == "stereo":
+                    flow_pred = local_correlation_softmax_stereo(feature0, feature1,
+                                                                 corr_radius)
+                else:
+                    flow_pred = local_correlation_softmax(feature0, feature1, corr_radius)
             flow = flow + flow_pred if flow is not None else flow_pred
+            if task == "stereo":
+                flow = jnp.maximum(flow, 0.0)  # disparity is positive (unimatch.py:222)
 
             flow = prop(feature0, jax.lax.stop_gradient(flow),
                         local_window_radius=prop_radius)
 
             if scale_idx == cfg.num_scales - 1:
-                if not cfg.reg_refine:
-                    flow_up = ConvexUpsampler(cfg.upsample_factor, dtype=self.dtype,
-                                              name="upsampler")(flow, feature0)
-                else:
+                # the convex upsampler exists for non-reg-refine models AND the depth
+                # model (reference unimatch.py:47-52)
+                if not cfg.reg_refine or task == "depth":
+                    upsampler = ConvexUpsampler(cfg.upsample_factor, dtype=self.dtype,
+                                                name="upsampler")
+                if cfg.reg_refine:
                     refine_proj = nn.Conv(256, (1, 1), dtype=self.dtype, name="refine_proj")
                     update = BasicUpdateBlock((2 * 4 + 1) ** 2, cfg.upsample_factor,
+                                              flow_dim=2 if task == "flow" else 1,
+                                              bilinear_up=task == "depth",
                                               dtype=self.dtype, name="refine")
                     for _ in range(cfg.num_reg_refine):
                         flow = jax.lax.stop_gradient(flow)
-                        correlation = local_correlation_with_flow(
-                            feature0_ori, feature1_ori, flow, radius=4)
+                        if task == "stereo":
+                            displace = jnp.concatenate([-flow, jnp.zeros_like(flow)],
+                                                       axis=-1)
+                            correlation = local_correlation_with_flow(
+                                feature0_ori, feature1_ori, displace, radius=4)
+                        elif task == "depth":
+                            rigid = compute_flow_with_depth_pose(
+                                1.0 / flow[..., 0], intrinsics_curr, pose)
+                            correlation = local_correlation_with_flow(
+                                feature0_ori, feature1_ori, rigid, radius=4)
+                        else:
+                            correlation = local_correlation_with_flow(
+                                feature0_ori, feature1_ori, flow, radius=4)
                         proj = refine_proj(feature0)
                         net, inp = jnp.split(proj, 2, axis=-1)
                         net = jnp.tanh(net)
                         inp = nn.relu(inp)
                         net, up_mask, residual = update(net, inp, correlation, flow)
-                        flow = flow + residual.astype(jnp.float32)
-                    flow_up = upsample_flow_with_mask(flow, up_mask, cfg.upsample_factor)
+                        if task == "depth":
+                            flow = jnp.clip(flow - residual.astype(jnp.float32),
+                                            inv_lo, inv_hi)
+                        else:
+                            flow = flow + residual.astype(jnp.float32)
+                        if task == "stereo":
+                            flow = jnp.maximum(flow, 0.0)
+
+                # final upsample to image resolution
+                if task == "stereo":
+                    if cfg.reg_refine:
+                        flow_up = upsample_flow_with_mask(flow, up_mask,
+                                                          cfg.upsample_factor)
+                    else:
+                        pad = jnp.concatenate([-flow, jnp.zeros_like(flow)], axis=-1)
+                        flow_up = -upsampler(pad, feature0)[..., :1]
+                    flow_up = flow_up[..., 0]  # (B, H, W) disparity
+                elif task == "depth":
+                    pad = jnp.concatenate([flow, jnp.zeros_like(flow)], axis=-1)
+                    inv_up = upsampler(pad, feature0, is_depth=True)[..., :1]
+                    # zero padding in the convex unfold can pull values out of range
+                    inv_up = jnp.clip(inv_up, inv_lo, inv_hi)
+                    flow_up = 1.0 / inv_up[..., 0]  # (B, H, W) depth
+                else:
+                    if cfg.reg_refine:
+                        flow_up = upsample_flow_with_mask(flow, up_mask,
+                                                          cfg.upsample_factor)
+                    else:
+                        flow_up = upsampler(flow, feature0)
         return flow_up

@@ -79,3 +79,100 @@ def test_flow_wrapper():
     assert flow.shape == (2, 30, 44, 2)
     fwd, bwd = make_bidirectional_flow_fn(model, params, (30, 44))(frames)
     assert fwd.shape == bwd.shape == (2, 30, 44, 2)
+
+
+class TestStereoDepthTasks:
+    """Reference unimatch supports task='stereo'/'depth' with shared weights
+    (unimatch.py:95-361); these exercise the TPU re-implementation."""
+
+    def test_global_stereo_recovers_known_disparity(self):
+        from lkgd_tpu.models.unimatch import global_correlation_softmax_stereo
+
+        rng = np.random.default_rng(7)
+        k = 3  # true disparity
+        left = rng.normal(size=(1, 4, 24, 16)).astype(np.float32) * 10
+        right = np.zeros_like(left)
+        right[:, :, : 24 - k] = left[:, :, k:]  # right view shifted left by k px
+        disp = np.asarray(global_correlation_softmax_stereo(
+            jnp.asarray(left), jnp.asarray(right)))
+        assert disp.shape == (1, 4, 24, 1)
+        assert (disp >= -1e-3).all()  # positivity from the triangular mask
+        np.testing.assert_allclose(disp[0, :, k + 2: 24 - k - 2, 0], k, atol=0.1)
+
+    def test_local_stereo_recovers_known_disparity(self):
+        from lkgd_tpu.models.unimatch import local_correlation_softmax_stereo
+
+        rng = np.random.default_rng(8)
+        k = 2
+        left = rng.normal(size=(1, 4, 20, 16)).astype(np.float32) * 10
+        right = np.zeros_like(left)
+        right[:, :, : 20 - k] = left[:, :, k:]
+        disp = np.asarray(local_correlation_softmax_stereo(
+            jnp.asarray(left), jnp.asarray(right), radius=4))
+        np.testing.assert_allclose(disp[0, :, k + 4: 20 - k - 4, 0], k, atol=0.1)
+
+    def test_depth_plane_sweep_recovers_known_inverse_depth(self):
+        from lkgd_tpu.models.unimatch import correlation_softmax_depth
+
+        rng = np.random.default_rng(9)
+        fx = 16.0
+        inv_z = 0.5  # true inverse depth -> x shift = fx * tx * inv_z = 8 px
+        shift = int(fx * 1.0 * inv_z)
+        f0 = rng.normal(size=(1, 6, 32, 16)).astype(np.float32) * 10
+        f1 = np.zeros_like(f0)
+        f1[:, :, shift:] = f0[:, :, : 32 - shift]  # target view shifted right
+        K = jnp.asarray([[[fx, 0, 16.0], [0, fx, 3.0], [0, 0, 1.0]]])
+        pose = jnp.eye(4)[None].at[0, 0, 3].set(1.0)  # translate +x
+        cands = jnp.broadcast_to(
+            jnp.linspace(2.0, 0.1, 64).reshape(1, -1, 1, 1), (1, 64, 6, 32))
+        inv = np.asarray(correlation_softmax_depth(
+            jnp.asarray(f0), jnp.asarray(f1), K, pose, cands))
+        assert inv.shape == (1, 6, 32, 1)
+        # random features can produce isolated accidental matches; require the bulk
+        err = np.abs(inv[0, :, 4: 32 - shift - 4, 0] - inv_z)
+        assert (err < 0.05).mean() > 0.95, err.max()
+        assert np.median(err) < 0.02
+
+    def test_rigid_flow_from_depth_pose(self):
+        from lkgd_tpu.models.unimatch import compute_flow_with_depth_pose
+
+        fx = 16.0
+        K = jnp.asarray([[[fx, 0, 8.0], [0, fx, 4.0], [0, 0, 1.0]]])
+        pose = jnp.eye(4)[None].at[0, 0, 3].set(1.0)
+        depth = jnp.full((1, 8, 16), 2.0)
+        flow = np.asarray(compute_flow_with_depth_pose(depth, K, pose))
+        np.testing.assert_allclose(flow[..., 0], fx * 1.0 / 2.0, atol=1e-4)
+        np.testing.assert_allclose(flow[..., 1], 0.0, atol=1e-4)
+
+    def test_stereo_end_to_end_tiny(self):
+        model = UniMatch(UniMatchConfig.tiny())
+        rng = np.random.default_rng(10)
+        img0 = jnp.asarray(rng.uniform(0, 255, size=(1, 32, 48, 3)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, size=(1, 32, 48, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), img0, img1, task="stereo")
+        disp = model.apply(params, img0, img1, task="stereo")
+        assert disp.shape == (1, 32, 48)
+        arr = np.asarray(disp)
+        assert np.isfinite(arr).all()
+        assert (arr >= -1e-3).all()
+
+    def test_depth_end_to_end_tiny(self):
+        import dataclasses as dc
+
+        # single-scale features come out at 1/8 resolution -> upsample_factor 8
+        cfg = dc.replace(UniMatchConfig.tiny(), num_scales=1, upsample_factor=8,
+                         attn_splits_list=(2,), corr_radius_list=(-1,),
+                         prop_radius_list=(-1,))
+        model = UniMatch(cfg)
+        rng = np.random.default_rng(11)
+        img0 = jnp.asarray(rng.uniform(0, 255, size=(1, 32, 48, 3)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, size=(1, 32, 48, 3)).astype(np.float32))
+        K = jnp.asarray([[[40.0, 0, 24.0], [0, 40.0, 16.0], [0, 0, 1.0]]])
+        pose = jnp.eye(4)[None].at[0, 0, 3].set(0.2)
+        kw = dict(task="depth", intrinsics=K, pose=pose, num_depth_candidates=16)
+        params = model.init(jax.random.PRNGKey(0), img0, img1, **kw)
+        depth = model.apply(params, img0, img1, **kw)
+        assert depth.shape == (1, 32, 48)
+        arr = np.asarray(depth)
+        assert np.isfinite(arr).all()
+        assert (arr >= 0.5 - 1e-3).all() and (arr <= 10.0 + 1e-3).all()
