@@ -124,7 +124,12 @@ def port_state_dict(state_dict: Dict[str, np.ndarray], template,
         if path not in leaves:
             unused.append(key)
             continue
-        fitted = _fit_tensor(np.asarray(tensor), leaves[path][0], is_kernel=(path[-1] == "kernel"))
+        if path[-1] == "tkernel":  # torch ConvTranspose2d (in, out, kh, kw)
+            t = np.asarray(tensor).transpose(2, 3, 0, 1)
+            fitted = t if t.shape == leaves[path][0] else None
+        else:
+            fitted = _fit_tensor(np.asarray(tensor), leaves[path][0],
+                                 is_kernel=(path[-1] == "kernel"))
         if fitted is None:
             raise ValueError(f"{key}: cannot fit shape {np.shape(tensor)} into "
                              f"{leaves[path][0]} at {'/'.join(path)}")
@@ -320,3 +325,40 @@ def cogvideox_key_map(key: str) -> Optional[str]:
 
 def port_cogvideox(state_dict, template, strict: bool = True):
     return port_state_dict(state_dict, template, key_map=cogvideox_key_map, strict=strict)
+
+
+def rife_key_map(key: str) -> Optional[str]:
+    """RIFE v3-HD flownet.pkl -> our IFNet paths (reference rife/IFNet_HDv3.py:39-117).
+
+    torch Sequential indices: conv0.A.{0=Conv2d,1=PReLU}, convblockA.B.{0,1},
+    conv1/conv2.{0=deconv,1=PReLU,2=deconv}. The teacher block (block_tea) is
+    training-only distillation state and is dropped.
+    """
+    if key.startswith("module."):
+        key = key[len("module."):]
+    if key.startswith("block_tea") or key.startswith(("contextnet", "unet")):
+        return None
+    m = re.match(r"^(block\d+)\.conv0\.(\d)\.(\d)\.(weight|bias)$", key)
+    if m:
+        b, a, i, leaf = m.groups()
+        return (f"{b}.conv0_{a}.conv.{leaf}" if i == "0" else f"{b}.conv0_{a}.alpha")
+    m = re.match(r"^(block\d+)\.convblock(\d)\.(\d)\.(\d)\.(weight|bias)$", key)
+    if m:
+        b, a, c, i, leaf = m.groups()
+        return (f"{b}.convblock{a}_{c}.conv.{leaf}" if i == "0"
+                else f"{b}.convblock{a}_{c}.alpha")
+    m = re.match(r"^(block\d+)\.(conv[12])\.(\d)\.(weight|bias)$", key)
+    if m:
+        b, head, i, leaf = m.groups()
+        tleaf = "tkernel" if leaf == "weight" else "bias"
+        if i == "0":
+            return f"{b}.{head}_0.conv.{tleaf}"
+        if i == "1":
+            return f"{b}.{head}_0.alpha"
+        return f"{b}.{head}_1.{tleaf}"
+    return key
+
+
+def port_rife(state_dict, template, strict: bool = True):
+    """Port a RIFE v3-HD ``flownet.pkl`` state dict into an ``IFNet`` template."""
+    return port_state_dict(state_dict, template, key_map=rife_key_map, strict=strict)
