@@ -1,0 +1,112 @@
+"""CogVideoX image-to-video inference CLI — analog of the reference's
+``CogVideo-main/inference/cli_demo.py`` driving the LKGD-modified I2V pipeline
+(reference finetune/models/cogvideox_i2v/pipeline_cogvideox_image2video.py:798-858,
+including the quaternion-fusion domain/flow feature inputs).
+
+The transformer pipeline is latent-level (pipelines/cogvideox_i2v.py); this CLI wires
+the causal-3D VAE around it: encode the conditioning image, denoise, decode.
+
+Prompts: T5 embeddings via --prompt-embeds (.npy, produced with
+lkgd_tpu.models.t5_text or the precompute cache) or zeros (smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--image", required=True)
+    p.add_argument("--output", default="output_cogvideox.mp4")
+    p.add_argument("--weights", help="safetensors dir (transformer/vae_3d)")
+    p.add_argument("--lora", help="LoRA safetensors to merge (diffusers/peft layout)")
+    p.add_argument("--prompt-embeds", help=".npy T5 embeddings (B, L, 4096)")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=720)
+    p.add_argument("--num-frames", type=int, default=49)
+    p.add_argument("--num-inference-steps", type=int, default=50)
+    p.add_argument("--guidance-scale", type=float, default=6.0)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--tiny", action="store_true", help="tiny config (smoke/testing)")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from lkgd_tpu.data.video_io import load_input, process_frames, write_video
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig
+    from lkgd_tpu.models.vae_cogvideox import AutoencoderKLCogVideoX, CogVideoXVAEConfig
+    from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXImageToVideoPipeline,
+                                                  CogVideoXPipelineConfig)
+    from lkgd_tpu.utils import porting
+
+    tcfg = CogVideoXConfig.tiny() if args.tiny else CogVideoXConfig.cogvideox_5b_i2v()
+    vcfg = CogVideoXVAEConfig.tiny() if args.tiny else CogVideoXVAEConfig()
+    pcfg = CogVideoXPipelineConfig(
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
+        vae_scale_factor_spatial=2 ** (len(vcfg.block_out_channels) - 1))
+    pipe = CogVideoXImageToVideoPipeline(config=pcfg, transformer_config=tcfg,
+                                         dtype=jnp.bfloat16)
+    vae = AutoencoderKLCogVideoX(vcfg, dtype=jnp.bfloat16)
+
+    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(args.seed))
+    vae_params = vae.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 1, args.height, args.width, 3)))
+    if args.weights:
+        t_path = os.path.join(args.weights, "transformer.safetensors")
+        if os.path.exists(t_path):
+            sd = porting.load_safetensors(t_path)
+            params["transformer"] = porting.port_cogvideox(
+                sd, params["transformer"], strict=False)
+            print(f"loaded transformer from {t_path}")
+        v_path = os.path.join(args.weights, "vae_3d.safetensors")
+        if os.path.exists(v_path):
+            sd = porting.load_safetensors(v_path)
+            vae_params = porting.port_state_dict(sd, vae_params, strict=False)
+            print(f"loaded vae from {v_path}")
+    if args.lora:
+        sd = porting.load_safetensors(args.lora)
+        params["transformer"] = porting.port_lora_safetensors(
+            sd, params["transformer"], adapter_name="lora")
+        print(f"merged LoRA from {args.lora}")
+
+    image = process_frames(load_input(args.image)[:1], args.height, args.width)[0]
+
+    @jax.jit
+    def encode(vp, img):
+        lat = vae.apply(vp, img, method=AutoencoderKLCogVideoX.encode_mode)
+        return lat[:, 0] * vcfg.scaling_factor  # (B, h, w, C_lat)
+
+    image_latents = encode(vae_params, jnp.asarray(image[None, None]) * 2.0 - 1.0)
+
+    if args.prompt_embeds:
+        emb = np.load(args.prompt_embeds)
+        prompt_embeds = jnp.asarray(emb if emb.ndim == 3 else emb[None])
+    else:
+        print("no --prompt-embeds: zero T5 embeddings (smoke mode)")
+        prompt_embeds = jnp.zeros((1, tcfg.max_text_seq_length, tcfg.text_embed_dim))
+
+    latents = pipe(params, prompt_embeds, image_latents,
+                   rng=jax.random.PRNGKey(args.seed))
+
+    @jax.jit
+    def decode(vp, z):
+        frames = vae.apply(vp, jnp.asarray(z) / vcfg.scaling_factor,
+                           method=AutoencoderKLCogVideoX.decode)
+        return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    video = np.asarray(decode(vae_params, latents))
+    write_video(args.output, video[0], fps=args.fps)
+    print(f"wrote {args.output}: {video[0].shape}")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def build_mesh(args):
+    """Multi-chip SPMD (the xDiT Ulysses/ring + CFG-parallel analog,
+    reference parallel_inference_xdit.py:14-51): CFG/batch rows shard over 'data',
+    latent frames over 'context'; XLA inserts the ICI collectives."""
+    if args.data_parallel * args.context_parallel <= 1:
+        return None
+    from lkgd_tpu.parallel import mesh as meshlib
+
+    return meshlib.make_mesh({"data": args.data_parallel,
+                              "context": args.context_parallel})
+
+
 def build_pipeline(args):
     from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, LoraRule, SVDUNetConfig
     from lkgd_tpu.pipelines.svd import StableVideoDiffusionPipeline, SVDPipelineConfig
@@ -48,6 +60,7 @@ def build_pipeline(args):
 
     unet_config = SVDUNetConfig(num_frames=args.num_frames, joint=joint, lora=lora,
                                 knowledge_fusion=args.knowledge_fusion)
+    mesh = build_mesh(args)
     pcfg = SVDPipelineConfig(
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
@@ -57,20 +70,27 @@ def build_pipeline(args):
         decode_chunk_size=args.decode_chunk_size)
     if args.mode == "trans":
         return StableVideoDiffusionTransPipeline(config=pcfg, unet_config=unet_config,
-                                                 dtype=jnp.bfloat16)
+                                                 dtype=jnp.bfloat16, mesh=mesh)
     if args.mode == "flow":
         from lkgd_tpu.pipelines.svd_flow import StableVideoDiffusionFlowPipeline
 
         return StableVideoDiffusionFlowPipeline(config=pcfg, unet_config=unet_config,
-                                                dtype=jnp.bfloat16)
+                                                dtype=jnp.bfloat16, mesh=mesh)
     if args.mode == "smooth":
         from lkgd_tpu.pipelines.svd_smooth import StableVideoDiffusionSmoothPipeline
 
         return StableVideoDiffusionSmoothPipeline(
-            config=pcfg, unet_config=unet_config, dtype=jnp.bfloat16,
+            config=pcfg, unet_config=unet_config, dtype=jnp.bfloat16, mesh=mesh,
             start_step=args.smooth_start_step, total_frames=args.smooth_total_frames)
+    if args.mode == "controlnet":
+        from lkgd_tpu.pipelines.svd_controlnet import StableVideoDiffusionControlNetPipeline
+
+        return StableVideoDiffusionControlNetPipeline(
+            config=pcfg, unet_config=unet_config, dtype=jnp.bfloat16, mesh=mesh,
+            reverse_time=args.reverse_time,
+            controlnet_cond_scale=args.controlnet_cond_scale)
     return StableVideoDiffusionPipeline(config=pcfg, unet_config=unet_config,
-                                        dtype=jnp.bfloat16)
+                                        dtype=jnp.bfloat16, mesh=mesh)
 
 
 def load_params(pipe, args):
@@ -98,9 +118,16 @@ def main():
 
     enable_persistent_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["base", "trans", "flow", "smooth"], default="base")
+    p.add_argument("--mode", choices=["base", "trans", "flow", "smooth", "controlnet"],
+                   default="base")
     p.add_argument("--image", required=True)
     p.add_argument("--end-image")
+    p.add_argument("--control-video",
+                   help="controlnet mode: video whose frames are the per-frame control "
+                        "images (preprocess with lkgd_tpu.cli.annotate for depth/edges)")
+    p.add_argument("--controlnet-cond-scale", type=float, default=1.0)
+    p.add_argument("--reverse-time", action="store_true",
+                   help="condition on the LAST frame (time-reversal pipeline)")
     p.add_argument("--output", default="output.gif")
     p.add_argument("--weights")
     p.add_argument("--height", type=int, default=576)
@@ -122,6 +149,10 @@ def main():
     p.add_argument("--nospatial", action="store_true")
     p.add_argument("--lora-rank", type=int, default=0)
     p.add_argument("--knowledge-fusion", action="store_true")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="mesh 'data' axis size (CFG/batch shard; xDiT cfg-parallel analog)")
+    p.add_argument("--context-parallel", type=int, default=1,
+                   help="mesh 'context' axis size (frame shard; Ulysses/ring analog)")
     p.add_argument("--smooth-start-step", type=int, default=10)
     p.add_argument("--smooth-total-frames", type=int, default=50)
     args = p.parse_args()
@@ -146,6 +177,16 @@ def main():
         flow_video = pipe(params, image[None], flow_cond=image[None], rng=rng)
         write_video(args.output, flow_video[0], fps=args.fps)
         print(f"wrote {args.output}: {flow_video[0].shape}")
+        return
+    if args.mode == "controlnet":
+        if args.control_video:
+            ctrl = process_frames(load_input(args.control_video)[: args.num_frames],
+                                  args.height, args.width)
+        else:
+            ctrl = np.zeros((args.num_frames, args.height, args.width, 3), np.float32)
+        video = pipe(params, image[None], control=jnp.asarray(ctrl)[None], rng=rng)
+        write_video(args.output, video[0], fps=args.fps)
+        print(f"wrote {args.output}: {video[0].shape}")
         return
     if args.mode == "trans":
         end_path = args.end_image or args.image

@@ -79,9 +79,11 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     h_lat, w_lat = args.height // 8, args.width // 8
     B = args.per_device_batch_size * jax.device_count()
-    dom0 = jnp.zeros((B, 1, 1000))
-    unet_params = unet.init(rng, jnp.zeros((B, args.num_frames, h_lat, w_lat, 8)),
-                            jnp.zeros((B,)), jnp.zeros((B, 1, 1024)), jnp.zeros((B, 3)),
+    # trans mode trains on interleaved [x, y] stream pairs -> init with the doubled rows
+    Bi = B * 2 if args.mode == "trans" else B
+    dom0 = jnp.zeros((Bi, 1, 1000))
+    unet_params = unet.init(rng, jnp.zeros((Bi, args.num_frames, h_lat, w_lat, 8)),
+                            jnp.zeros((Bi,)), jnp.zeros((Bi, 1, 1024)), jnp.zeros((Bi, 3)),
                             domain_features=dom0, flow_features=dom0)
     vae_params = vae.init(rng, jnp.zeros((1, args.height, args.width, 3)), num_frames=1)
     clip_params = clip.init(rng, jnp.zeros((1, 224, 224, 3)))
@@ -116,6 +118,12 @@ def main():
         # frozen-encoder params travel as ARGS (closing over them captures ~5 GB of
         # constants into the jaxpr). pixel_values (B, T+1, H, W, 3) in [-1, 1].
         frames = pixel_values[:, :-1]
+        if args.mode == "trans":
+            # joint batch: INTERLEAVE [video, time-flipped video] per sample so the
+            # tiled stream masks pair them; the flipped stream conditions on the LAST
+            # frame (train_svd_trans_lora.py:1385-1430)
+            frames = jnp.stack([frames, frames[:, ::-1]], axis=1)
+            frames = frames.reshape((-1,) + frames.shape[2:])
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
         latents = vae.apply(vp, flat, method=AutoencoderKLTemporalDecoder.encode_mode)
@@ -134,10 +142,13 @@ def main():
                 "flow_features": domain}
 
     optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable)
-    train_step_core = make_svd_train_step(
+    train_step_core = jax.jit(make_svd_train_step(
         unet, optimizer,
-        SVDTrainConfig(conditioning_dropout_prob=args.conditioning_dropout_prob))
+        SVDTrainConfig(conditioning_dropout_prob=args.conditioning_dropout_prob,
+                       tie_stream_pairs=args.mode == "trans")), donate_argnums=(0,))
 
+    # two separately-jitted stages; the composition must NOT be re-jitted (that would
+    # inline the frozen encoder params as multi-GB jaxpr constants)
     def train_step(state, batch, rng):
         r1, r2 = jax.random.split(rng)
         proc = preprocess(vae_params, clip_params, vit_params, batch["pixel_values"], r1)
@@ -153,7 +164,8 @@ def main():
 
     trainer = Trainer(train_step, state,
                       TrainerConfig(output_dir=args.output_dir, max_steps=args.max_steps,
-                                    checkpoint_every=args.checkpoint_every))
+                                    checkpoint_every=args.checkpoint_every),
+                      jit_step=False)
     trainer.restore_latest()
     final = trainer.fit(iter(loader))
 

@@ -70,8 +70,17 @@ def write_video(path: str, frames: np.ndarray, fps: int = 7) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".gif":
         iio.imwrite(path, arr, duration=int(1000 / fps), loop=0)
-    else:
+        return
+    try:
         iio.imwrite(path, arr, fps=fps)
+    except (OSError, ImportError):  # no imageio-ffmpeg backend in this image
+        import cv2
+
+        h, w = arr.shape[1:3]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        for frame in arr:
+            vw.write(frame[..., ::-1])
+        vw.release()
 
 
 def save_gifs_side_by_side(path: str, videos: Sequence[np.ndarray], fps: int = 7) -> None:

@@ -218,20 +218,22 @@ class StableDiffusionJointControlPipeline:
         cond_lat = cond_lat * self.vae_scaling
 
         rng_lat, rng_cn = jax.random.split(rng)
-        latents = jax.random.normal(rng_lat, (2 * b, h, w, 4), jnp.float32)  # [x*, y*]
+        # INTERLEAVED stream rows [x0, y0, x1, y1, ...] — matches the tiled joint
+        # stream-mask convention used everywhere else in this framework
+        latents = jax.random.normal(rng_lat, (2 * b, h, w, 4), jnp.float32)
 
-        # stream-level conditioning mask: which half is clamped
-        if self.cond_x:
-            clamp = jnp.concatenate([jnp.ones((b,)), jnp.zeros((b,))]).astype(bool)
-        else:
-            clamp = jnp.concatenate([jnp.zeros((b,)), jnp.ones((b,))]).astype(bool)
+        # stream-level conditioning mask: which stream of each pair is clamped
+        pair = jnp.asarray([self.cond_x, not self.cond_x], bool)
+        clamp = jnp.tile(pair, b)
         clamp_full = clamp[:, None, None, None]
-        cond_rows = jnp.concatenate([cond_lat, cond_lat], axis=0)
+        cond_rows = jnp.repeat(cond_lat, 2, axis=0)
 
-        ehs = jnp.concatenate([negative_prompt_embeds, prompt_embeds], 0).astype(self.dtype)
+        pe = jnp.repeat(prompt_embeds, 2, axis=0)  # per-stream copies
+        ne = jnp.repeat(negative_prompt_embeds, 2, axis=0)
+        ehs = jnp.concatenate([ne, pe], 0).astype(self.dtype)
         if spatial_mask is not None:
             smask = jax.image.resize(spatial_mask, (b, h, w, 1), "nearest")
-            smask = jnp.concatenate([smask, smask], axis=0)
+            smask = jnp.repeat(smask, 2, axis=0)
 
         schedule, scheduler = self.schedule, self.scheduler
 

@@ -68,6 +68,11 @@ class SVDTrainConfig:
     train_noise_aug: float = 0.02  # reference train_svd_lora.py:1512
     fps: int = 6
     motion_bucket_id: int = 127
+    # joint two-stream batches (INTERLEAVED [x0,y0,x1,y1,...] rows — our stream masks
+    # tile over rows, so partners are adjacent): sample sigmas per pair and
+    # repeat-interleave so coupled streams share noise levels
+    # (train_svd_trans_lora.py:1404-1407 does the half-batch equivalent)
+    tie_stream_pairs: bool = False
 
 
 def make_svd_train_step(unet, optimizer, config: SVDTrainConfig = SVDTrainConfig()):
@@ -85,7 +90,11 @@ def make_svd_train_step(unet, optimizer, config: SVDTrainConfig = SVDTrainConfig
         bsz, num_frames = latents.shape[0], latents.shape[1]
         r_sigma, r_noise, r_drop1, r_drop2 = jax.random.split(rng, 4)
 
-        sigmas = edm.rand_cosine_interpolated(r_sigma, (bsz,), config.edm)
+        if config.tie_stream_pairs:
+            sigmas = edm.rand_cosine_interpolated(r_sigma, (bsz // 2,), config.edm)
+            sigmas = jnp.repeat(sigmas, 2, axis=0)
+        else:
+            sigmas = edm.rand_cosine_interpolated(r_sigma, (bsz,), config.edm)
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
         noisy, inp = edm.precondition_inputs(latents, noise, sigmas)
         timesteps = edm.timesteps_from_sigmas(sigmas)

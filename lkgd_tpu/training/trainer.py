@@ -58,8 +58,13 @@ def zero_shard_opt_state(mesh, opt_state):
 class Trainer:
     def __init__(self, train_step: Callable, state: TrainState, config: TrainerConfig,
                  rng: Optional[jax.Array] = None,
-                 validation_fn: Optional[Callable[[TrainState, int], Dict[str, Any]]] = None):
-        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+                 validation_fn: Optional[Callable[[TrainState, int], Dict[str, Any]]] = None,
+                 jit_step: bool = True):
+        """``jit_step=False``: the step is already jitted (or composes separately-jitted
+        stages). Composed steps that close over frozen encoder params MUST use this —
+        re-jitting the composition inlines those params as captured constants (GBs of
+        jaxpr constants; see the params-as-args rule in cli/train_svd_lora.preprocess)."""
+        self.train_step = jax.jit(train_step, donate_argnums=(0,)) if jit_step else train_step
         self.state = state
         self.config = config
         self.rng = rng if rng is not None else jax.random.PRNGKey(config.seed)

@@ -131,7 +131,7 @@ class TestPipelines:
             unet_config=joint_unet, vae_config=TINY_VAE, cond_x=True)
         params = pipe.init_params(jax.random.PRNGKey(0), ctx_len=4)
         cond_img = np.random.default_rng(1).uniform(size=(1, 32, 32, 3)).astype(np.float32)
-        out = pipe(params, jnp.ones((2, 4, 32)), cond_img)
+        out = pipe(params, jnp.ones((1, 4, 32)), cond_img)  # one prompt per x/y pair
         assert out.shape == (2, 32, 32, 3)
         # the x (condition) stream decodes the clamped condition: close to VAE roundtrip
         rt = pipe.vae.apply(params["vae"], jnp.asarray(cond_img * 2 - 1))
