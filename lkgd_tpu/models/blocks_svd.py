@@ -25,6 +25,7 @@ from lkgd_tpu.models.layers import (
     AlphaBlender,
     Attention,
     FeedForward,
+    FrameAxisAttention,
     GroupNorm,
     LayerNorm,
     TimestepEmbedding,
@@ -49,13 +50,11 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(32, self.eps, dtype=self.dtype, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, self.eps, dtype=self.dtype, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -77,14 +76,12 @@ class TemporalResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(32, self.eps, dtype=self.dtype, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, :, None, :]
-        h = GroupNorm(32, self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, self.eps, dtype=self.dtype, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
                     name="conv2")(h)
         if in_channels != self.out_channels:
@@ -158,7 +155,11 @@ def _partner_streams(x: jnp.ndarray, joint: JointAttentionConfig, num_frames: in
 
 
 class JointAttentionBranch(nn.Module):
-    """attn1n + zero-init post projection (reference `patch/patch.py:143-172,438-500`)."""
+    """attn1n + zero-init post projection (reference `patch/patch.py:143-172,438-500`).
+
+    ``temporal=True`` runs the branch inside a temporal transformer block: tokens stay in
+    the spatial-major ``(B*T, HW, C)`` layout and attn1n contracts the frame axis
+    (see :class:`~lkgd_tpu.models.layers.FrameAxisAttention`)."""
 
     dim: int
     heads: int
@@ -166,6 +167,7 @@ class JointAttentionBranch(nn.Module):
     joint: JointAttentionConfig
     block_path: str  # diffusers-style path prefix for LoRA routing
     lora: LoraRouter = EMPTY_ROUTER
+    temporal: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -179,8 +181,7 @@ class JointAttentionBranch(nn.Module):
 
         partner = _partner_streams(x, self.joint, num_frames, flip_frames)
         p = f"{self.block_path}.attn1n"
-        attn1n = Attention(
-            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1n",
+        adapters = dict(
             adapters_q=self.lora.resolve(p, "to_q"),
             # K/V projections act on the partner stream -> inverted masks
             # (reference patch.py:892-895)
@@ -188,7 +189,13 @@ class JointAttentionBranch(nn.Module):
             adapters_v=self.lora.resolve(p, "to_v", invert_streams=True),
             adapters_out=self.lora.resolve(p, "to_out"),
         )
-        out = attn1n(x, encoder_hidden_states=partner)
+        if self.temporal:
+            out = FrameAxisAttention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
+                                     name="attn1n", **adapters)(
+                x, num_frames, encoder_hidden_states=partner)
+        else:
+            out = Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype,
+                            name="attn1n", **adapters)(x, encoder_hidden_states=partner)
 
         if self.joint.post == "conv":
             out = nn.Dense(self.dim, use_bias=False, kernel_init=nn.initializers.zeros,
@@ -266,7 +273,17 @@ class BasicTransformerBlock(nn.Module):
 class TemporalBasicTransformerBlock(nn.Module):
     """Temporal transformer block: ff_in + temporal self-attn (+ optional joint branch) +
     cross-attn + FF (diffusers TemporalBasicTransformerBlock; joint per
-    reference `patch/patch.py:582-686`). Input ``(B*T, HW, C)``; internally tokens = T."""
+    reference `patch/patch.py:582-686`).
+
+    Input ``(B*T, HW, C)`` — and it *stays* in that spatial-major layout: LayerNorms,
+    feed-forwards and q/k/v projections are position-independent, and the frame axis is
+    contracted only inside :class:`~lkgd_tpu.models.layers.FrameAxisAttention`. The
+    reference transposes to (B*HW, T, C) tokens instead; on TPU that logical transpose
+    propagates a strided layout into every op of the block (measured: LayerNorms at
+    ~20 GB/s, matmuls emitted as 10 TF/s convolutions — see BASELINE.md).
+
+    ``time_context``: per-sample (B, L, cross_attention_dim) conditioning (the reference
+    broadcasts it per pixel; here K/V run once per sample)."""
 
     dim: int
     heads: int
@@ -280,41 +297,36 @@ class TemporalBasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int, time_context: jnp.ndarray,
                  joint_scale=1.0) -> jnp.ndarray:
-        bf, seq, c = x.shape
-        b = bf // num_frames
-        # (B*T, HW, C) -> (B*HW, T, C)
-        x = x.reshape(b, num_frames, seq, c).transpose(0, 2, 1, 3).reshape(b * seq, num_frames, c)
-
         residual = x
         h = LayerNorm(dtype=self.dtype, name="norm_in")(x)
         h = FeedForward(dtype=self.dtype, name="ff_in")(h)
         x = h + residual  # is_res: time_mix_inner_dim == dim in SVD
 
         norm_x = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        attn_out = Attention(
+        attn_out = FrameAxisAttention(
             self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1",
             adapters_q=self.lora.resolve(f"{self.block_path}.attn1", "to_q"),
             adapters_k=self.lora.resolve(f"{self.block_path}.attn1", "to_k"),
             adapters_v=self.lora.resolve(f"{self.block_path}.attn1", "to_v"),
             adapters_out=self.lora.resolve(f"{self.block_path}.attn1", "to_out"),
-        )(norm_x)
+        )(norm_x, num_frames)
         if self.joint is not None and self.joint.temporal:
             joint_out = JointAttentionBranch(
                 self.dim, self.heads, self.dim_head, self.joint, self.block_path, self.lora,
-                dtype=self.dtype, name="joint")(norm_x, num_frames, flip_frames=False)
+                temporal=True, dtype=self.dtype, name="joint")(
+                    norm_x, num_frames, flip_frames=False)
             attn_out = attn_out + joint_out * joint_scale
         x = x + attn_out
 
         norm_x = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = x + Attention(self.dim, self.heads, self.dim_head, kv_dim=self.cross_attention_dim,
-                          dtype=self.dtype, name="attn2")(norm_x, encoder_hidden_states=time_context)
+        x = x + FrameAxisAttention(
+            self.dim, self.heads, self.dim_head, kv_dim=self.cross_attention_dim,
+            dtype=self.dtype, name="attn2")(norm_x, num_frames,
+                                            encoder_hidden_states=time_context,
+                                            per_sample_ctx=True)
 
         norm_x = LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(dtype=self.dtype, name="ff")(norm_x)
-
-        # back to (B*T, HW, C)
-        x = x.reshape(b, seq, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, seq, c)
-        return x
+        return x + FeedForward(dtype=self.dtype, name="ff")(norm_x)
 
 
 class TransformerSpatioTemporalModel(nn.Module):
@@ -339,11 +351,10 @@ class TransformerSpatioTemporalModel(nn.Module):
         b = bf // num_frames
         inner = self.heads * self.dim_head
 
-        # time_context: first-frame context broadcast per pixel (diffusers semantics)
+        # time_context: first-frame context per sample (diffusers broadcasts it per
+        # pixel; FrameAxisAttention consumes it per-sample instead)
         ctx = encoder_hidden_states  # (B*T, L, D)
-        ctx_first = ctx.reshape(b, num_frames, *ctx.shape[1:])[:, 0]  # (B, L, D)
-        time_context = jnp.broadcast_to(ctx_first[:, None], (b, H * W) + ctx_first.shape[1:])
-        time_context = time_context.reshape(b * H * W, *ctx_first.shape[1:])
+        time_context = ctx.reshape(b, num_frames, *ctx.shape[1:])[:, 0]  # (B, L, D)
 
         residual = x
         h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm")(x)

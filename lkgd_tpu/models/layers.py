@@ -167,6 +167,77 @@ class Attention(nn.Module):
                              dtype=self.dtype, name="to_out")(out)
 
 
+class FrameAxisAttention(nn.Module):
+    """Attention over the *frame* axis of spatial-major ``(B*T, HW, C)`` tokens.
+
+    The reference's temporal attention transposes to ``(B*HW, T, C)`` tokens
+    (`patch/patch.py:592-597` via diffusers TemporalBasicTransformerBlock). On TPU that
+    logical transpose never materializes — XLA propagates the strided layout into every
+    downstream op instead (LayerNorm reductions at ~20 GB/s, token matmuls emitted as
+    10 TF/s convolutions; measured on v5e, see BASELINE.md). This module keeps all
+    projections in the standard spatial-major layout and contracts the frame axis through
+    dot_general batch dimensions, so only the tiny (T x T) attention core ever sees the
+    frame axis.
+
+    Parameter layout matches :class:`Attention` (to_q/to_k/to_v/to_out), so module trees
+    and ported weights are interchangeable.
+
+    ``encoder_hidden_states``: None (self-attention over frames), an ``(B*T, HW, C)``
+    partner stream (joint attention), or — with ``per_sample_ctx=True`` — a per-sample
+    ``(B, L, kv_dim)`` context (cross-attention; the reference broadcasts this to every
+    pixel, here the K/V projections run once per sample instead of once per pixel).
+    """
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    kv_dim: Optional[int] = None
+    out_bias: bool = True
+    adapters_q: Tuple[LoraSpec, ...] = ()
+    adapters_k: Tuple[LoraSpec, ...] = ()
+    adapters_v: Tuple[LoraSpec, ...] = ()
+    adapters_out: Tuple[LoraSpec, ...] = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray, num_frames: int,
+                 encoder_hidden_states: Optional[jnp.ndarray] = None,
+                 per_sample_ctx: bool = False) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        bt, hw, _ = hidden_states.shape
+        b = bt // num_frames
+        q = DenseWithLora(inner, use_bias=False, adapters=self.adapters_q, dtype=self.dtype,
+                          name="to_q")(hidden_states)
+        qh = q.reshape(b, num_frames, hw, self.heads, self.dim_head)
+
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        k = DenseWithLora(inner, use_bias=False, adapters=self.adapters_k, dtype=self.dtype,
+                          name="to_k")(ctx)
+        v = DenseWithLora(inner, use_bias=False, adapters=self.adapters_v, dtype=self.dtype,
+                          name="to_v")(ctx)
+        if per_sample_ctx:
+            # (B, L, inner): one K/V per sample, shared by all pixels
+            kh = k.reshape(b, -1, self.heads, self.dim_head)
+            vh = v.reshape(b, -1, self.heads, self.dim_head)
+            logits = jnp.einsum("bqphd,blhd->bphql", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bphql,blhd->bqphd", probs, vh,
+                             preferred_element_type=self.dtype)
+        else:
+            kh = k.reshape(b, num_frames, hw, self.heads, self.dim_head)
+            vh = v.reshape(b, num_frames, hw, self.heads, self.dim_head)
+            logits = jnp.einsum("bqphd,bkphd->bphqk", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bphqk,bkphd->bqphd", probs, vh,
+                             preferred_element_type=self.dtype)
+        out = out.reshape(bt, hw, inner)
+        return DenseWithLora(self.query_dim, use_bias=self.out_bias, adapters=self.adapters_out,
+                             dtype=self.dtype, name="to_out")(out)
+
+
 # --------------------------------------------------------------------------- feed-forward
 class GEGLU(nn.Module):
     inner_dim: int
@@ -223,39 +294,34 @@ class AlphaBlender(nn.Module):
 
 # --------------------------------------------------------------------------- norms
 class GroupNorm(nn.Module):
-    """GroupNorm over the channel (last) axis.
+    """GroupNorm over the channel (last) axis, with an optional fused activation.
 
-    Statistics are accumulated in fp32 but the normalized tensor stays in the compute
-    dtype — the fp32 temporaries of a naive upcast are several GB at full video
-    resolution (VAE decode at 576x1024 OOMs HBM otherwise)."""
+    Backed by lkgd_tpu.ops.group_norm: row-axis-only fp32 reductions (no minor-axis
+    cross-lane reduce), one-pass variance, and a single fused ``act(x * a + b)``
+    epilogue in the compute dtype — the fp32 temporaries of a naive upcast are several
+    GB at full video resolution (VAE decode at 576x1024 OOMs HBM otherwise)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    act: Optional[str] = None  # None | "silu" — fused into the normalize pass
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         import os
 
+        from lkgd_tpu.ops.group_norm import group_norm
+
         c = x.shape[-1]
-        g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         if os.environ.get("LKGD_SKIP_GN_STATS"):  # perf-bisection debug hook only
-            return (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
-        # two-pass per (sample, group) statistics: fp32 *reductions* over compute-dtype
-        # tensors — no full-size fp32 temporaries (those OOM HBM at video resolution)
-        xg = x.reshape(x.shape[:1] + (-1, g, c // g))
-        n_elem = xg.shape[1] * xg.shape[3]
-        mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32, keepdims=True)  # (B,1,g,1) f32
-        xc = xg - mean.astype(x.dtype)
-        # sum-of-squares as an MXU contraction: bf16 inputs, fp32 accumulation, no
-        # materialized fp32 temporary (a plain mean(square()) OOMs HBM at video res)
-        sumsq = jnp.einsum("bngk,bngk->bg", xc, xc, preferred_element_type=jnp.float32)
-        var = (sumsq / n_elem)[:, None, :, None]
-        inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
-        xn = (xc * inv).reshape(x.shape)
-        return (xn * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
+            y = (x * scale.astype(x.dtype) + bias.astype(x.dtype)).astype(self.dtype)
+            return nn.silu(y) if self.act == "silu" else y
+        n, m = x.shape[0], math.prod(x.shape[1:-1])
+        y = group_norm(x.reshape(n, m, c), scale, bias, num_groups=self.num_groups,
+                       eps=self.epsilon, act=self.act)
+        return y.reshape(x.shape).astype(self.dtype)
 
 
 class LayerNorm(nn.LayerNorm):

@@ -196,7 +196,6 @@ class UNet2DCondition(nn.Module):
                 sample = Upsample2D(ch, dtype=self.dtype,
                                     name=f"up_blocks_{i}_upsamplers_0")(sample)
 
-        sample = GroupNorm(32, 1e-5, dtype=self.dtype, name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
+        sample = GroupNorm(32, 1e-5, dtype=self.dtype, act="silu", name="conv_norm_out")(sample)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(sample)

@@ -190,7 +190,6 @@ class UNetSpatioTemporalCondition(nn.Module):
                 raise ValueError(block_type)
 
         # ---- 8. out head (reference :682-688)
-        sample = GroupNorm(32, 1e-5, dtype=self.dtype, name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
+        sample = GroupNorm(32, 1e-5, dtype=self.dtype, act="silu", name="conv_norm_out")(sample)
         sample = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(sample)
         return sample.reshape((batch_size, num_frames) + sample.shape[1:])

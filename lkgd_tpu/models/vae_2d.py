@@ -43,8 +43,7 @@ class Decoder2D(nn.Module):
                 h = nearest_upsample_2x(h)
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_blocks_{i}_upsamplers_0")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 

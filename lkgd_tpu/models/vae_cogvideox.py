@@ -67,11 +67,9 @@ class CogResBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm1")(x)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm2")(h)
         h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:
             x = CausalConv3d(self.out_channels, kernel=(1, 1, 1), dtype=self.dtype,
@@ -121,8 +119,7 @@ class CogVideoXEncoder(nn.Module):
                     h = _temporal_downsample(h)
         h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_res_0")(h)
         h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_res_1")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm_out")(h)
         return CausalConv3d(2 * cfg.latent_channels, dtype=self.dtype, name="conv_out")(h)
 
 
@@ -150,8 +147,7 @@ class CogVideoXDecoder(nn.Module):
                 h2 = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                              name=f"up_{i}_upsample")(h2)
                 h = h2.reshape(b, t, hh, ww, c)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm_out")(h)
         return CausalConv3d(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
 
 

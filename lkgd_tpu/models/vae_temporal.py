@@ -46,11 +46,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -66,12 +64,10 @@ class VAETemporalPart(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        t = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x)
-        t = nn.silu(t)
+        t = GroupNorm(32, 1e-5, dtype=self.dtype, act="silu", name="norm1")(x)
         t = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
                     name="conv1")(t)
-        t = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(t)
-        t = nn.silu(t)
+        t = GroupNorm(32, 1e-5, dtype=self.dtype, act="silu", name="norm2")(t)
         t = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
                     name="conv2")(t)
         return x + t
@@ -153,8 +149,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_resnets_0")(h)
         h = VAEAttention(ch, dtype=self.dtype, name="mid_block_attentions_0")(h)
         h = VAEResnetBlock(ch, dtype=self.dtype, name="mid_block_resnets_1")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="conv_norm_out")(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 
@@ -188,8 +183,7 @@ class TemporalDecoder(nn.Module):
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_blocks_{i}_upsamplers_0")(h)
 
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="conv_norm_out")(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
         # final temporal conv over frames: (B*T, H, W, 3) -> (B, T, H*W, 3) conv (3,1)

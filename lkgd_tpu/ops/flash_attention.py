@@ -375,17 +375,102 @@ def _flash_core_bwd(block_q, block_k, res, g):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+# ------------------------------------------------------------------ layout firewall
+# The flash kernels want (B*H, S, D) operands; the network computes (B, S, H*D)
+# projections. A plain jnp.transpose lets XLA "optimize" the copy away by assigning
+# head-major physical layouts to the projection outputs — and layout assignment then
+# propagates those transposed layouts through the whole UNet (measured on v5e: LayerNorms
+# at ~20-30 GB/s, temporal matmuls emitted as 10 TF/s convolutions; see BASELINE.md).
+# These relayout kernels do the same data movement as an explicit copy, but a Pallas
+# custom call has FIXED standard operand/result layouts, so the layout poison cannot
+# cross it in either direction.
+def _split_heads_kernel(x_ref, o_ref, *, heads: int, d: int):
+    xb = x_ref[0]
+    for h in range(heads):
+        o_ref[h] = xb[:, h * d:(h + 1) * d]
+
+
+def _merge_heads_kernel(x_ref, o_ref, *, heads: int, d: int):
+    for h in range(heads):
+        o_ref[0, :, h * d:(h + 1) * d] = x_ref[h]
+
+
+def _pick_seq_block(s: int) -> int:
+    for bs in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if s % bs == 0:
+            return bs
+    return 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """(B, S, H*D) -> (B*H, S, D), both in standard layout."""
+    b, s, c = x.shape
+    d = c // heads
+    bs = _pick_seq_block(s)
+    return pl.pallas_call(
+        functools.partial(_split_heads_kernel, heads=heads, d=d),
+        grid=(b, s // bs),
+        in_specs=[pl.BlockSpec((1, bs, c), lambda b, i: (b, i, 0))],
+        out_specs=pl.BlockSpec((heads, bs, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, s, d), x.dtype),
+    )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _merge_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """(B*H, S, D) -> (B, S, H*D), both in standard layout."""
+    bh, s, d = x.shape
+    b = bh // heads
+    bs = _pick_seq_block(s)
+    return pl.pallas_call(
+        functools.partial(_merge_heads_kernel, heads=heads, d=d),
+        grid=(b, s // bs),
+        in_specs=[pl.BlockSpec((heads, bs, d), lambda b, i: (b, i, 0))],
+        out_specs=pl.BlockSpec((1, bs, heads * d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, heads * d), x.dtype),
+    )(x)
+
+
+def _split_heads_fwd(x, heads):
+    return _split_heads(x, heads), None
+
+
+def _split_heads_bwd(heads, _, g):
+    return (_merge_heads(g, heads),)
+
+
+def _merge_heads_fwd(x, heads):
+    return _merge_heads(x, heads), None
+
+
+def _merge_heads_bwd(heads, _, g):
+    return (_split_heads(g, heads),)
+
+
+_split_heads.defvjp(_split_heads_fwd, _split_heads_bwd)
+_merge_heads.defvjp(_merge_heads_fwd, _merge_heads_bwd)
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """(B, S, H, D) softmax attention via the Pallas kernel. Differentiable: a custom VJP
     recomputes the probabilities per block from the saved logsumexp (standard flash
-    backward; two kernels for dQ and dK/dV)."""
+    backward; two kernels for dQ and dK/dV). Head split/merge run as Pallas relayout
+    kernels so surrounding ops keep standard layouts (see the layout-firewall note)."""
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
     bq, bk = _pick_blocks(s_q, s_k, d)
     if bq == 0 or bk == 0:
         raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    if h == 1:
+        qt = q.reshape(b, s_q, d)
+        kt = k.reshape(b, s_k, d)
+        vt = v.reshape(b, s_k, d)
+    else:
+        qt = _split_heads(q.reshape(b, s_q, h * d), h)
+        kt = _split_heads(k.reshape(b, s_k, h * d), h)
+        vt = _split_heads(v.reshape(b, s_k, h * d), h)
     out = _flash_core(qt, kt, vt, bq, bk)
-    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+    if h == 1:
+        return out.reshape(b, s_q, h, d)
+    return _merge_heads(out, h).reshape(b, s_q, h, d)
