@@ -36,7 +36,7 @@ def main():
     if small:
         pipe = StableVideoDiffusionPipeline(
             config=SVDPipelineConfig(height=64, width=64, num_frames=4, num_inference_steps=3,
-                                     decode_chunk_size=2),
+                                     decode_chunk_size=4),
             unet_config=SVDUNetConfig(
                 block_out_channels=(32, 64),
                 down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
@@ -50,7 +50,7 @@ def main():
     else:
         pipe = StableVideoDiffusionPipeline(
             config=SVDPipelineConfig(height=576, width=1024, num_frames=14,
-                                     num_inference_steps=25, decode_chunk_size=2),
+                                     num_inference_steps=25, decode_chunk_size=14),
             unet_config=SVDUNetConfig(num_frames=14),
             dtype=jnp.bfloat16,
         )
@@ -58,6 +58,9 @@ def main():
 
     t0 = time.time()
     params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+    # deployment weight format: bf16 (fp32 params would hold ~7 GB of HBM and force
+    # small decode chunks)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     jax.block_until_ready(params)
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -67,14 +70,14 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     t0 = time.time()
-    out = pipe._generate(params, img, rng)
+    out = pipe.generate(params, img, rng)
     jax.block_until_ready(out)
     print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(reps):
         t0 = time.time()
-        out = pipe._generate(params, img, rng)
+        out = pipe.generate(params, img, rng)
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     value = float(min(times))
