@@ -60,69 +60,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
         o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_vmem_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_q: int,
-                       block_k: int):
-    """VMEM-resident flash attention for video-diffusion shapes: small S*D (a few MB) but
-    many (batch*head) rows. The whole (S, D) q/k/v of one row sits in VMEM; q/k tiling
-    runs in fori_loops so there is ONE grid step per (b,h) — the (b, i, j) grid variant
-    spends more time in per-step overhead than in math at these sizes."""
-    s_k = k_ref.shape[1]
-    n_k = s_k // block_k
-    log2e = 1.4426950408889634
-    q = q_ref[0]  # (BQ, D)
-
-    def k_loop(ki, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * (scale * log2e)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return m_next, l_next, acc
-
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, q_ref.shape[2]), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_k, k_loop, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_vmem_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int,
-                     block_k: int) -> jnp.ndarray:
-    bh, s_q, d = q.shape
-    s_k = k.shape[1]
-    kernel = functools.partial(_flash_vmem_kernel, scale=d**-0.5, block_q=block_q,
-                               block_k=block_k)
-    return pl.pallas_call(
-        kernel,
-        grid=(bh, s_q // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),  # k/v resident per row
-            pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )(q, k, v)
-
-
-def _pick_block(s: int, preferred=(1024, 512, 256, 128)) -> int:
-    for b in preferred:
-        if s % b == 0:
-            return b
-    return 0
-
-
 # ------------------------------------------------------------------ backward pass
 # Standard flash-attention VJP with the log2-domain logsumexp saved by the forward:
 #   P_ij = exp2(s2_ij - L2_i)   (== natural softmax probabilities)
@@ -395,9 +332,11 @@ def _merge_heads_kernel(x_ref, o_ref, *, heads: int, d: int):
         o_ref[0, :, h * d:(h + 1) * d] = x_ref[h]
 
 
-def _pick_seq_block(s: int) -> int:
+def _pick_seq_block(s: int, c: int, itemsize: int) -> int:
+    """Largest sequence block dividing s whose (rows, c) tile fits the VMEM budget
+    (split/merge hold one input and one output block, double-buffered)."""
     for bs in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if s % bs == 0:
+        if s % bs == 0 and bs * c * itemsize <= 2 * 1024 * 1024:
             return bs
     return 0
 
@@ -407,7 +346,7 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     """(B, S, H*D) -> (B*H, S, D), both in standard layout."""
     b, s, c = x.shape
     d = c // heads
-    bs = _pick_seq_block(s)
+    bs = _pick_seq_block(s, c, x.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_split_heads_kernel, heads=heads, d=d),
         grid=(b, s // bs),
@@ -422,7 +361,7 @@ def _merge_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     """(B*H, S, D) -> (B, S, H*D), both in standard layout."""
     bh, s, d = x.shape
     b = bh // heads
-    bs = _pick_seq_block(s)
+    bs = _pick_seq_block(s, heads * d, x.dtype.itemsize)
     return pl.pallas_call(
         functools.partial(_merge_heads_kernel, heads=heads, d=d),
         grid=(b, s // bs),
@@ -462,15 +401,27 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     bq, bk = _pick_blocks(s_q, s_k, d)
     if bq == 0 or bk == 0:
         raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
+    itemsize = q.dtype.itemsize
+    firewall = (h > 1 and _pick_seq_block(s_q, h * d, itemsize) > 0
+                and _pick_seq_block(s_k, h * d, itemsize) > 0)
     if h == 1:
         qt = q.reshape(b, s_q, d)
         kt = k.reshape(b, s_k, d)
         vt = v.reshape(b, s_k, d)
-    else:
+    elif firewall:
         qt = _split_heads(q.reshape(b, s_q, h * d), h)
         kt = _split_heads(k.reshape(b, s_k, h * d), h)
         vt = _split_heads(v.reshape(b, s_k, h * d), h)
+    else:
+        # wide-channel shapes whose split/merge blocks would not fit VMEM: plain
+        # transposes (XLA may choose head-major layouts around them — acceptable for
+        # the rare configs that land here)
+        qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
+        kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+        vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
     out = _flash_core(qt, kt, vt, bq, bk)
     if h == 1:
         return out.reshape(b, s_q, h, d)
-    return _merge_heads(out, h).reshape(b, s_q, h, d)
+    if firewall:
+        return _merge_heads(out, h).reshape(b, s_q, h, d)
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)

@@ -79,15 +79,8 @@ def _pallas_group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, *,
         out_shape=jax.ShapeDtypeStruct((n, 2, c), jnp.float32),
         interpret=interpret,
     )(x)
-    n_elem = m * (c // num_groups)
-    grouped = sums.reshape(n, 2, num_groups, c // num_groups).sum(axis=-1)  # (N, 2, G)
-    mean = grouped[:, 0] / n_elem
-    var = jnp.maximum(grouped[:, 1] / n_elem - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    inv_c = jnp.repeat(inv, c // num_groups, axis=-1)
-    mean_c = jnp.repeat(mean, c // num_groups, axis=-1)
-    a = inv_c * scale.astype(jnp.float32)[None, :]
-    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    a, b = _sums_to_affine(sums[:, 0], sums[:, 1], scale, bias, m=m,
+                           num_groups=num_groups, eps=eps)
     return pl.pallas_call(
         functools.partial(_apply_kernel, act=act),
         grid=(n, k),
@@ -141,30 +134,59 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, *,
     return group_norm_xla(x, scale, bias, num_groups=num_groups, eps=eps, act=act)
 
 
-def group_norm_xla(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, *,
-                   num_groups: int, eps: float, act: Optional[str] = None) -> jnp.ndarray:
-    """GroupNorm over (N, M, C): pure-XLA bandwidth-friendly formulation (row-axis-only
-    reductions, one-pass variance). Fallback path and backward-recompute oracle."""
-    n, m, c = x.shape
+def _affine_from_stats(mean_g: jnp.ndarray, inv_g: jnp.ndarray, scale: jnp.ndarray,
+                       bias: jnp.ndarray, c: int):
+    """Fold per-group mean/inv-std + learned affine into per-(sample, channel) a, b so
+    the normalize pass is a single fused ``act(x * a + b)``."""
+    g = mean_g.shape[-1]
+    inv_c = jnp.repeat(inv_g, c // g, axis=-1)  # (N, C)
+    mean_c = jnp.repeat(mean_g, c // g, axis=-1)
+    a = inv_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    return a, b
+
+
+def _sums_to_affine(s1: jnp.ndarray, s2: jnp.ndarray, scale: jnp.ndarray,
+                    bias: jnp.ndarray, *, m: int, num_groups: int, eps: float):
+    """Per-channel sum / sum-of-squares (N, C) -> affine a, b (one-pass variance)."""
+    n, c = s1.shape
     g = num_groups
-    # one pass over x: per-channel sum and sum-of-squares, fp32 accumulation, reduction
-    # over the (major) row axis only — no minor-axis cross-lane reduce, and XLA keeps
-    # both in one fusion with the producer's epilogue. (An MXU-matvec variant and a
-    # Pallas stats kernel were both measured net-slower in-network: they break the
-    # conv+stats mega-fusions — BASELINE.md.)
-    s1 = jnp.sum(x, axis=1, dtype=jnp.float32)  # (N, C)
-    s2 = jnp.einsum("nmc,nmc->nc", x, x, preferred_element_type=jnp.float32)
-    # group fold + affine on tiny (N, C)/(N, G) tensors
     n_elem = m * (c // g)
     gs1 = s1.reshape(n, g, c // g).sum(axis=-1)  # (N, G)
     gs2 = s2.reshape(n, g, c // g).sum(axis=-1)
     mean = gs1 / n_elem
     var = jnp.maximum(gs2 / n_elem - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)  # (N, G)
-    inv_c = jnp.repeat(inv, c // g, axis=-1)  # (N, C)
-    mean_c = jnp.repeat(mean, c // g, axis=-1)
-    a = inv_c * scale.astype(jnp.float32)[None, :]
-    b = bias.astype(jnp.float32)[None, :] - mean_c * a
+    inv = jax.lax.rsqrt(var + eps)
+    return _affine_from_stats(mean, inv, scale, bias, c)
+
+
+def group_norm_xla(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, *,
+                   num_groups: int, eps: float, act: Optional[str] = None) -> jnp.ndarray:
+    """GroupNorm over (N, M, C): pure-XLA bandwidth-friendly formulation (row-axis-only
+    reductions). Fallback path and backward-recompute oracle."""
+    n, m, c = x.shape
+    g = num_groups
+    if x.dtype == jnp.float32:
+        # fp32 activations can have |mean| >> std, where one-pass E[x^2]-E[x]^2 loses
+        # all precision — use the exact centered two-pass form (also keeps CPU golden
+        # tests torch-exact)
+        xg = x.reshape(n, m, g, c // g)
+        n_elem = m * (c // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)  # (N, 1, G, 1)
+        xc = xg - mean
+        sumsq = jnp.einsum("nmgk,nmgk->ng", xc, xc, preferred_element_type=jnp.float32)
+        inv = jax.lax.rsqrt(sumsq / n_elem + eps)  # (N, G)
+        a, b = _affine_from_stats(mean.reshape(n, g), inv, scale, bias, c)
+    else:
+        # bf16: one pass over x — per-channel sum and sum-of-squares, fp32 accumulation,
+        # reduction over the (major) row axis only: no minor-axis cross-lane reduce, and
+        # XLA keeps both in one fusion with the producer's epilogue. One-pass variance is
+        # safe here: bf16 quantization of x dominates the cancellation error. (An
+        # MXU-matvec variant and a Pallas stats kernel were both measured net-slower
+        # in-network: they break the conv+stats mega-fusions — BASELINE.md.)
+        s1 = jnp.sum(x, axis=1, dtype=jnp.float32)  # (N, C)
+        s2 = jnp.einsum("nmc,nmc->nc", x, x, preferred_element_type=jnp.float32)
+        a, b = _sums_to_affine(s1, s2, scale, bias, m=m, num_groups=num_groups, eps=eps)
     # single fused elementwise epilogue in the compute dtype (fp32 temporaries of a full
     # upcast are several GB at video resolution and OOM HBM)
     y = x * a[:, None, :].astype(x.dtype) + b[:, None, :].astype(x.dtype)

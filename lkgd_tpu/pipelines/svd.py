@@ -57,7 +57,9 @@ def equal_chunks(n: int, max_chunk: int) -> int:
 
 
 class StableVideoDiffusionPipeline:
-    """Image -> video. ``generate`` is a single jitted program.
+    """Image -> video. ``generate`` runs two jitted programs: the conditioning-encode +
+    denoise scan, then the chunked temporal VAE decode (separate so the decode can use
+    whole-clip chunks — see ``generate``).
 
     Weights: ``params = {"unet": ..., "vae": ..., "image_encoder": ...}`` (flax param trees).
     """
@@ -88,7 +90,11 @@ class StableVideoDiffusionPipeline:
         self.vae_scale_factor = 2 ** (len(vae_config.block_out_channels) - 1)
         self.latent_height = config.height // self.vae_scale_factor
         self.latent_width = config.width // self.vae_scale_factor
-        self._generate = jax.jit(self._generate_impl, static_argnames=("output_latents",))
+        import inspect
+
+        static = tuple(n for n in ("output_latents",)
+                       if n in inspect.signature(self._generate_impl).parameters)
+        self._generate = jax.jit(self._generate_impl, static_argnames=static)
         self._decode = jax.jit(self.decode_latents)
 
     # ------------------------------------------------------------------ param init
@@ -143,9 +149,9 @@ class StableVideoDiffusionPipeline:
         return g[..., None, None, None]  # (B, T, 1, 1, 1)
 
     # ------------------------------------------------------------------ generation
-    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
-                       output_latents: bool = False):
-        """image: [0,1] (B, H, W, 3). Returns frames [0,1] (B, T, H, W, 3) or latents."""
+    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array):
+        """image: [0,1] (B, H, W, 3). Returns denoised latents (B, T, h, w, 4) — decoding
+        runs in its own jitted program (``generate``)."""
         cfg = self.config
         batch_size = image.shape[0]
         rng_aug, rng_lat = jax.random.split(rng)
@@ -198,11 +204,7 @@ class StableVideoDiffusionPipeline:
             return latents, ()
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(schedule.num_steps))
-
-        if output_latents:
-            return latents
-
-        return self.decode_latents(params["vae"], latents)
+        return latents
 
     def _shard_video(self, x: jnp.ndarray) -> jnp.ndarray:
         """Constrain a (B, T, ...) video tensor to the mesh: batch over data, frames over
@@ -243,7 +245,7 @@ class StableVideoDiffusionPipeline:
         (jit #2). Splitting the decode out lets it run with large frame chunks (fewer
         memory passes; ~0.8 s faster per 14-frame clip at decode_chunk_size=14) that the
         combined program cannot compile at — see BASELINE.md."""
-        latents = self._generate(params, image, rng, output_latents=True)
+        latents = self._generate(params, image, rng)
         return self._decode(params["vae"], latents)
 
     # ------------------------------------------------------------------ public API
@@ -256,7 +258,7 @@ class StableVideoDiffusionPipeline:
         if image.ndim == 3:
             image = image[None]
         if output_type == "latent":
-            return self._generate(params, image, rng, output_latents=True)
+            return self._generate(params, image, rng)
         out = self.generate(params, image, rng)
         if output_type == "np":
             return np.asarray(out)

@@ -24,8 +24,7 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
     """images: (2, H, W, 3) = [start_frame, end_frame]. Returns (2, T, H, W, 3): stream 0
     is the start->end transition; stream 1 its end-conditioned twin."""
 
-    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
-                       output_latents: bool = False):
+    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array):
         cfg = self.config
         assert image.shape[0] % 2 == 0, "trans pipeline expects [start, end] image pairs"
         rng_aug, rng_lat = jax.random.split(rng)
@@ -69,9 +68,7 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
             return latents, ()
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(schedule.num_steps))
-        if output_latents:
-            return latents
-        return self.decode_latents(params["vae"], latents)
+        return latents
 
     def __call__(self, params, start_image, end_image=None, rng: Optional[jax.Array] = None,
                  output_type: str = "np"):
@@ -82,5 +79,7 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
         else:
             image = jnp.stack([jnp.asarray(start_image, jnp.float32),
                                jnp.asarray(end_image, jnp.float32)])
-        out = self._generate(params, image, rng, output_latents=(output_type == "latent"))
+        if output_type == "latent":
+            return self._generate(params, image, rng)
+        out = self.generate(params, image, rng)
         return np.asarray(out) if output_type == "np" else out
