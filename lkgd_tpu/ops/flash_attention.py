@@ -239,11 +239,15 @@ _VMEM_LIMIT = 12 * 1024 * 1024
 
 
 def _pick_blocks(s_q: int, s_k: int, d: int):
-    """Largest (block_q, block_k) dividing the sequence lengths that fits VMEM."""
-    for bq in (1024, 512, 256, 128):
+    """Largest (block_q, block_k) dividing the sequence lengths that fits VMEM.
+
+    Non-power-of-2 candidates matter: SVD's level-1 spatial attention is S=2304, where
+    (768, 768) measured ~3x faster than the (256, 256) a power-of-2-only list forces
+    (BASELINE.md block sweeps)."""
+    for bq in (1024, 768, 512, 384, 256, 128):
         if s_q % bq:
             continue
-        for bk in (1024, 512, 256, 128):
+        for bk in (1024, 768, 512, 384, 256, 128):
             if s_k % bk:
                 continue
             if _vmem_bytes(bq, bk, d) <= _VMEM_LIMIT:
