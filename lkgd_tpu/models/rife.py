@@ -23,7 +23,7 @@ rife/IFNet_HDv3.py:39-136`` and ``rife_model.py:28-111``) as a Flax module:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # fp32 per-chunk temporaries capped at 2 MB (VMEM is ~16 MB/core; blocks double-buffer).
 _CHUNK_BYTES_F32 = 2 * 1024 * 1024

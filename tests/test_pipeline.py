@@ -88,3 +88,22 @@ class TestMultiDevice:
 
         assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
         __graft_entry__.dryrun_multichip(8)
+
+    def test_mesh_inference_matches_unsharded(self):
+        """The v5e-8 deployment path (CFG batch over 'data', frames over 'context') must
+        produce the same frames as the single-device program (fp32, same params/rng)."""
+        from lkgd_tpu.parallel import mesh as meshlib
+
+        pipe = _tiny_pipe()
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        img = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 64, 64, 3)), jnp.float32)
+        want = pipe(params, img, rng=jax.random.PRNGKey(7))
+
+        mesh = meshlib.make_mesh({"data": 2, "context": 2}, jax.devices()[:4])
+        sharded = StableVideoDiffusionPipeline(
+            config=pipe.config, unet_config=TINY_UNET, vae_config=TINY_VAE,
+            clip_config=CLIPVisionConfig.tiny(), dtype=jnp.float32, mesh=mesh)
+        with jax.set_mesh(mesh):
+            p = jax.device_put(params, meshlib.replicated(mesh))
+            got = sharded(p, img, rng=jax.random.PRNGKey(7))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
