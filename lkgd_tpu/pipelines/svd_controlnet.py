@@ -54,7 +54,7 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         return params
 
     def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
-                       control: Optional[jnp.ndarray] = None, output_latents: bool = False):
+                       control: Optional[jnp.ndarray] = None):
         cfg = self.config
         batch_size = image.shape[0]
         rng_aug, rng_lat = jax.random.split(rng)
@@ -117,9 +117,7 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(schedule.num_steps))
         if self.reverse_time:
             latents = latents[:, ::-1]
-        if output_latents:
-            return latents
-        return self.decode_latents(params["vae"], latents)
+        return latents
 
     def __call__(self, params, image, control=None, rng: Optional[jax.Array] = None,
                  output_type: str = "np"):
@@ -129,6 +127,8 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         if image.ndim == 3:
             image = image[None]
         control = None if control is None else jnp.asarray(control, jnp.float32)
-        out = self._generate(params, image, rng, control=control,
-                             output_latents=(output_type == "latent"))
+        latents = self._generate(params, image, rng, control=control)
+        if output_type == "latent":
+            return latents
+        out = self._decode(params["vae"], latents)
         return np.asarray(out) if output_type == "np" else out

@@ -34,7 +34,7 @@ class StableVideoDiffusionFlowPipeline(StableVideoDiffusionPipeline):
         self.mode = mode
 
     def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
-                       flow_cond: Optional[jnp.ndarray] = None, output_latents: bool = False):
+                       flow_cond: Optional[jnp.ndarray] = None):
         cfg = self.config
         batch_size = image.shape[0]
         rng_aug, rng_aug2, rng_lat = jax.random.split(rng, 3)
@@ -89,11 +89,7 @@ class StableVideoDiffusionFlowPipeline(StableVideoDiffusionPipeline):
             return latents, ()
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(schedule.num_steps))
-        if output_latents:
-            return latents
-        # un-normalize flow latents before decode (reference flow :565-570)
-        latents = flow_latent_unnormalize(latents)
-        return self.decode_latents(params["vae"], latents)
+        return latents  # normalized flow latents; __call__ un-normalizes before decode
 
     def __call__(self, params, image, flow_cond=None, rng: Optional[jax.Array] = None,
                  output_type: str = "np"):
@@ -106,8 +102,11 @@ class StableVideoDiffusionFlowPipeline(StableVideoDiffusionPipeline):
             flow_cond = jnp.asarray(flow_cond, jnp.float32)
             if flow_cond.ndim == 3:
                 flow_cond = flow_cond[None]
-        out = self._generate(params, image, rng, flow_cond=flow_cond,
-                             output_latents=(output_type == "latent"))
+        latents = self._generate(params, image, rng, flow_cond=flow_cond)
+        if output_type == "latent":
+            return latents
+        # un-normalize flow latents before decode (reference flow :565-570)
+        out = self._decode(params["vae"], flow_latent_unnormalize(latents))
         return np.asarray(out) if output_type == "np" else out
 
 
@@ -118,7 +117,7 @@ class StableVideoDiffusionJointVFPipeline(StableVideoDiffusionPipeline):
     Returns (frames, flows)."""
 
     def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
-                       flow_cond: Optional[jnp.ndarray] = None, output_latents: bool = False):
+                       flow_cond: Optional[jnp.ndarray] = None):
         cfg = self.config
         assert image.shape[0] == 1, "joint_vf generates one video+flow pair"
         rng_aug, rng_aug2, rng_lat = jax.random.split(rng, 3)
@@ -169,12 +168,7 @@ class StableVideoDiffusionJointVFPipeline(StableVideoDiffusionPipeline):
             return latents, ()
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(schedule.num_steps))
-        if output_latents:
-            return latents
-        video_lat, flow_lat_out = latents[:1], flow_latent_unnormalize(latents[1:])
-        frames = self.decode_latents(params["vae"], video_lat)
-        flows = self.decode_latents(params["vae"], flow_lat_out)
-        return frames, flows
+        return latents
 
     def __call__(self, params, image, flow_cond=None, rng: Optional[jax.Array] = None,
                  output_type: str = "np"):
@@ -187,8 +181,13 @@ class StableVideoDiffusionJointVFPipeline(StableVideoDiffusionPipeline):
             flow_cond = jnp.asarray(flow_cond, jnp.float32)
             if flow_cond.ndim == 3:
                 flow_cond = flow_cond[None]
-        out = self._generate(params, image, rng, flow_cond=flow_cond,
-                             output_latents=(output_type == "latent"))
+        latents = self._generate(params, image, rng, flow_cond=flow_cond)
+        if output_type == "latent":
+            return latents
+        # two same-shape decodes -> one compiled decode program reused for both streams
+        frames = self._decode(params["vae"], latents[:1])
+        flows = self._decode(params["vae"], flow_latent_unnormalize(latents[1:]))
+        out = (frames, flows)
         if output_type == "np":
             return jax.tree.map(np.asarray, out)
         return out

@@ -36,8 +36,7 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
         chunk = self.config.num_frames
         self.n_chunks = int(np.ceil((total_frames + chunk - 1) / chunk))
 
-    def _generate_impl(self, params, video: jnp.ndarray, rng: jax.Array,
-                       output_latents: bool = False):
+    def _generate_impl(self, params, video: jnp.ndarray, rng: jax.Array):
         cfg = self.config
         K = cfg.num_frames
         T = self.total_frames
@@ -118,10 +117,7 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
 
         steps = jnp.arange(self.start_step, schedule.num_steps)
         latents, _ = jax.lax.scan(step_fn, latents, (steps, offsets))
-
-        if output_latents:
-            return latents[None]
-        return self.decode_latents(params["vae"], latents[None])
+        return latents[None]
 
     def __call__(self, params, video, rng: Optional[jax.Array] = None, output_type: str = "np"):
         if rng is None:
@@ -129,5 +125,8 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
         video = jnp.asarray(video, jnp.float32)
         assert video.shape[0] == self.total_frames, (
             f"pipeline compiled for {self.total_frames} frames, got {video.shape[0]}")
-        out = self._generate(params, video, rng, output_latents=(output_type == "latent"))
+        latents = self._generate(params, video, rng)
+        if output_type == "latent":
+            return latents
+        out = self._decode(params["vae"], latents)
         return np.asarray(out) if output_type == "np" else out
