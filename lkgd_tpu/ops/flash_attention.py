@@ -22,8 +22,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _mask_padded_keys(s, block_start, kv_valid):
+    """-inf the logit columns whose key position >= kv_valid (sequence padding)."""
+    pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(pos < kv_valid, s, _NEG_INF)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch, *,
-                  scale: float, n_k_blocks: int):
+                  scale: float, n_k_blocks: int, block_k: int, kv_valid):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -40,6 +46,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     # cheap pow2 instead of exp (the transcendental is the per-block bottleneck at D=64)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (scale * 1.4426950408889634)
+    if kv_valid is not None:
+        s = _mask_padded_keys(s, j * block_k, kv_valid)
 
     m_prev = m_scratch[...]  # (BQ, 128) lane-replicated, log2 domain
     l_prev = l_scratch[...]
@@ -69,7 +77,7 @@ _LOG2E = 1.4426950408889634
 
 
 def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
-                          block_q):
+                          block_q, kv_valid):
     i = pl.program_id(1)
     s_k = k_ref.shape[1]
     n_k = s_k // block_k
@@ -81,6 +89,8 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k
         v = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        if kv_valid is not None:
+            s = _mask_padded_keys(s, ki * block_k, kv_valid)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
@@ -102,7 +112,7 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                         scale, block_k, block_q):
+                         scale, block_k, block_q, kv_valid):
     i = pl.program_id(1)
     s_k = k_ref.shape[1]
     n_k = s_k // block_k
@@ -116,6 +126,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
         v = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        if kv_valid is not None:
+            s = _mask_padded_keys(s, ki * block_k, kv_valid)
         p = jnp.exp2(s - lse)  # (BQ, BK)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -128,9 +140,10 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-                          *, scale, block_q):
+                          *, scale, block_q, block_k, kv_valid):
     s_q = q_ref.shape[1]
     n_q = s_q // block_q
+    j = pl.program_id(1)
     k = k_ref[0]
     v = v_ref[0]
 
@@ -142,6 +155,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
         delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
+        if kv_valid is not None:
+            s = _mask_padded_keys(s, j * block_k, kv_valid)
         p = jnp.exp2(s - lse)  # (BQ, BK)
         dv = dv + jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -159,12 +174,12 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_valid"))
+def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k, kv_valid=None):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     kernel = functools.partial(_flash_fwd_lse_kernel, scale=d**-0.5, block_k=block_k,
-                               block_q=block_q)
+                               block_q=block_q, kv_valid=kv_valid)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, s_q // block_q),
@@ -183,13 +198,13 @@ def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k):
     return out, lse
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_bwd_bhsd(q, k, v, do, lse, delta, block_q, block_k):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_valid"))
+def _flash_bwd_bhsd(q, k, v, do, lse, delta, block_q, block_k, kv_valid=None):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=d**-0.5, block_k=block_k,
-                          block_q=block_q),
+                          block_q=block_q, kv_valid=kv_valid),
         grid=(bh, s_q // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -206,7 +221,8 @@ def _flash_bwd_bhsd(q, k, v, do, lse, delta, block_q, block_k):
     )(q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, scale=d**-0.5, block_q=block_q),
+        functools.partial(_flash_bwd_dkv_kernel, scale=d**-0.5, block_q=block_q,
+                          block_k=block_k, kv_valid=kv_valid),
         grid=(bh, s_k // block_k),
         in_specs=[
             pl.BlockSpec((1, s_q, d), lambda b, j: (b, 0, 0)),
@@ -255,16 +271,18 @@ def _pick_blocks(s_q: int, s_k: int, d: int):
     return 0, 0
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int
-                ) -> jnp.ndarray:
-    """(BH, S_q, D) x (BH, S_k, D) -> (BH, S_q, D)."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_valid"))
+def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int,
+                kv_valid=None) -> jnp.ndarray:
+    """(BH, S_q, D) x (BH, S_k, D) -> (BH, S_q, D). ``kv_valid``: number of real keys
+    when the sequence was padded up to the block multiple (None = no padding)."""
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     scale = d**-0.5
     n_q, n_k = s_q // block_q, s_k // block_k
 
-    kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k,
+                               block_k=block_k, kv_valid=kv_valid)
     grid = (bh, n_q, n_k)
     return pl.pallas_call(
         kernel,
@@ -286,30 +304,37 @@ def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, bl
     )(q, k, v)
 
 
+def _padded_len(s: int) -> int:
+    """Next length whose blocks the kernel can tile: multiple of 1024 (128 under 1024)."""
+    unit = 1024 if s >= 1024 else 128
+    return -(-s // unit) * unit
+
+
 def supports(q_shape, k_shape) -> bool:
-    """Whether the kernel handles these (B, S, H, D) shapes."""
+    """Whether the kernel handles these (B, S, H, D) shapes (padding any sequence up to
+    a block multiple, with padded keys masked out of the softmax)."""
     s_q, s_k, d = q_shape[1], k_shape[1], q_shape[3]
     if d % 8 != 0 or d > 512:
         return False
-    bq, bk = _pick_blocks(s_q, s_k, d)
+    bq, bk = _pick_blocks(_padded_len(s_q), _padded_len(s_k), d)
     return bq > 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_core(qt, kt, vt, block_q, block_k):
-    return _flash_bhsd(qt, kt, vt, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(qt, kt, vt, block_q, block_k, kv_valid=None):
+    return _flash_bhsd(qt, kt, vt, block_q, block_k, kv_valid)
 
 
-def _flash_core_fwd(qt, kt, vt, block_q, block_k):
-    out, lse = _flash_fwd_lse_bhsd(qt, kt, vt, block_q, block_k)
+def _flash_core_fwd(qt, kt, vt, block_q, block_k, kv_valid):
+    out, lse = _flash_fwd_lse_bhsd(qt, kt, vt, block_q, block_k, kv_valid)
     return out, (qt, kt, vt, out, lse)
 
 
-def _flash_core_bwd(block_q, block_k, res, g):
+def _flash_core_bwd(block_q, block_k, kv_valid, res, g):
     qt, kt, vt, out, lse = res
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (BH, S)
     dq, dk, dv = _flash_bwd_bhsd(qt, kt, vt, g.astype(qt.dtype), lse, delta[:, None, :],
-                                 block_q, block_k)
+                                 block_q, block_k, kv_valid)
     return dq, dk, dv
 
 
@@ -402,30 +427,42 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     kernels so surrounding ops keep standard layouts (see the layout-firewall note)."""
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
-    bq, bk = _pick_blocks(s_q, s_k, d)
+    # sequences that no block tiles (e.g. CogVideoX's 17776 video+text tokens) are padded
+    # up to a block multiple; padded keys are masked to -inf inside the kernels and
+    # padded query rows are sliced off (their gradients are exactly zero because the
+    # padded output rows receive zero cotangents through jnp.pad's VJP)
+    sq_p, sk_p = _padded_len(s_q), _padded_len(s_k)
+    if sq_p != s_q or sk_p != s_k:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - s_q), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, sk_p - s_k), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - s_k), (0, 0), (0, 0)))
+    kv_valid = s_k if sk_p != s_k else None
+    bq, bk = _pick_blocks(sq_p, sk_p, d)
     if bq == 0 or bk == 0:
         raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
     itemsize = q.dtype.itemsize
-    firewall = (h > 1 and _pick_seq_block(s_q, h * d, itemsize) > 0
-                and _pick_seq_block(s_k, h * d, itemsize) > 0)
+    firewall = (h > 1 and _pick_seq_block(sq_p, h * d, itemsize) > 0
+                and _pick_seq_block(sk_p, h * d, itemsize) > 0)
     if h == 1:
-        qt = q.reshape(b, s_q, d)
-        kt = k.reshape(b, s_k, d)
-        vt = v.reshape(b, s_k, d)
+        qt = q.reshape(b, sq_p, d)
+        kt = k.reshape(b, sk_p, d)
+        vt = v.reshape(b, sk_p, d)
     elif firewall:
-        qt = _split_heads(q.reshape(b, s_q, h * d), h)
-        kt = _split_heads(k.reshape(b, s_k, h * d), h)
-        vt = _split_heads(v.reshape(b, s_k, h * d), h)
+        qt = _split_heads(q.reshape(b, sq_p, h * d), h)
+        kt = _split_heads(k.reshape(b, sk_p, h * d), h)
+        vt = _split_heads(v.reshape(b, sk_p, h * d), h)
     else:
         # wide-channel shapes whose split/merge blocks would not fit VMEM: plain
         # transposes (XLA may choose head-major layouts around them — acceptable for
         # the rare configs that land here)
-        qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
-        kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-        vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    out = _flash_core(qt, kt, vt, bq, bk)
+        qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+        kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk_p, d)
+        vt = v.transpose(0, 2, 1, 3).reshape(b * h, sk_p, d)
+    out = _flash_core(qt, kt, vt, bq, bk, kv_valid)
     if h == 1:
-        return out.reshape(b, s_q, h, d)
-    if firewall:
-        return _merge_heads(out, h).reshape(b, s_q, h, d)
-    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+        out = out.reshape(b, sq_p, h, d)
+    elif firewall:
+        out = _merge_heads(out, h).reshape(b, sq_p, h, d)
+    else:
+        out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
+    return out[:, :s_q]

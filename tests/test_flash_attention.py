@@ -13,7 +13,8 @@ from lkgd_tpu.ops import flash_attention as fa
 def test_supports():
     assert fa.supports((2, 9216, 5, 64), (2, 9216, 5, 64))
     assert fa.supports((2, 2304, 10, 64), (2, 2304, 10, 64))
-    assert not fa.supports((2, 100, 5, 64), (2, 100, 5, 64))  # no block divides 100
+    assert fa.supports((2, 100, 5, 64), (2, 100, 5, 64))  # padded to a block multiple
+    assert not fa.supports((2, 100, 5, 33), (2, 100, 5, 33))  # head dim not 8-aligned
 
 
 def test_matches_xla_interpret():
@@ -71,3 +72,35 @@ def test_fwd_lse_consistent_interpret():
     s2 = np.einsum("bqd,bkd->bqk", np.asarray(q), np.asarray(k)) * (16**-0.5) * 1.4426950408889634
     want = np.log2(np.exp2(s2 - s2.max(-1, keepdims=True)).sum(-1)) + s2.max(-1)
     np.testing.assert_allclose(np.asarray(lse)[:, 0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_padded_nondivisible_sequence_interpret():
+    """Sequences no block tiles (CogVideoX-style) are padded + key-masked."""
+    rng = np.random.default_rng(4)
+    B, S, H, D = 1, 200, 2, 32  # 200 has no block divisor >= 128
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+               for _ in range(3))
+    assert fa.supports(q.shape, k.shape)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(q, k, v)
+    ref = _xla_attention(q, k, v, None)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_padded_backward_interpret():
+    rng = np.random.default_rng(5)
+    B, S, H, D = 1, 150, 1, 16
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+               for _ in range(3))
+    tangent = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) * tangent)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss(fa.flash_attention), argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(loss(lambda q, k, v: _xla_attention(q, k, v, None)),
+                 argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
