@@ -20,6 +20,7 @@ import dataclasses
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lkgd_tpu.models.configs import LoraRouter, EMPTY_ROUTER
@@ -46,6 +47,13 @@ class CogVideoXConfig:
     rope_base_width: int = 720
     knowledge_fusion: bool = True
     lora: LoraRouter = EMPTY_ROUTER
+    # Sequence parallelism over the video-token axis — the xDiT Ulysses/ring analog
+    # (`CogVideo-main/tools/parallel_inference/parallel_inference_xdit.py:14-51`).
+    # "ulysses": all-to-all head exchange; "ring": ppermute K/V rotation. Requires an
+    # ambient mesh with axis ``sp_axis``; video tokens (latent-frame axis upstream) must
+    # divide by the axis size, and for ulysses heads must too.
+    sequence_parallel: str = "none"  # none | ulysses | ring
+    sp_axis: str = "context"
 
     @property
     def inner_dim(self) -> int:
@@ -144,7 +152,13 @@ class CogVideoXAttention(nn.Module):
             kv = apply_rotary(k[:, text_len:], cos, sin)
             q = jnp.concatenate([q[:, :text_len], qv], axis=1)
             k = jnp.concatenate([k[:, :text_len], kv], axis=1)
-        out = dot_product_attention(q, k, v).reshape(b, s, inner)
+        if cfg.sequence_parallel != "none":
+            from lkgd_tpu.parallel.sequence import joint_sp_attention
+
+            out = joint_sp_attention(q, k, v, text_len, cfg.sequence_parallel,
+                                     cfg.sp_axis).reshape(b, s, inner)
+        else:
+            out = dot_product_attention(q, k, v).reshape(b, s, inner)
         out = DenseWithLora(inner, adapters=cfg.lora.resolve(self.block_path, "to_out"),
                             dtype=self.dtype, name="to_out")(out)
         return out[:, text_len:], out[:, :text_len]
@@ -214,6 +228,13 @@ class CogVideoXTransformer3D(nn.Module):
         video = nn.Conv(inner, (p, p), strides=(p, p), dtype=self.dtype,
                         name="patch_embed_proj")(video)
         video = video.reshape(b, t * (h // p) * (w // p), inner)
+        if cfg.sequence_parallel != "none":
+            # pin the video-token axis to the SP mesh axis so every block's qkv
+            # projections / FF run sequence-sharded and only attention communicates
+            from jax.sharding import PartitionSpec
+
+            video = jax.lax.with_sharding_constraint(
+                video, PartitionSpec(None, cfg.sp_axis, None))
         text = nn.Dense(inner, dtype=self.dtype, name="patch_embed_text_proj")(
             encoder_hidden_states.astype(self.dtype))
 

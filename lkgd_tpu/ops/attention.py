@@ -61,3 +61,30 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=q.dtype)
+
+
+_LOG2E = 1.4426950408889634
+
+
+def attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """Attention over (B, S, H, D) returning (out, lse2): ``lse2`` (B, S_q, H, fp32) is the
+    log2-domain logsumexp of the scaled logits. Partial results over disjoint key blocks
+    combine exactly as out = Σ out_i · 2^(lse_i − LSE), LSE = logsumexp2_i(lse_i) — the
+    primitive ring attention is built on. Flash kernel on TPU, XLA fallback elsewhere."""
+    if _use_flash(q, k, None):
+        try:
+            from lkgd_tpu.ops.flash_attention import flash_attention_with_lse
+
+            return flash_attention_with_lse(q, k, v)
+        except Exception:  # pragma: no cover — fall back if kernel unavailable
+            pass
+    scale = q.shape[-1] ** -0.5
+    logits2 = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    m = jnp.max(logits2, axis=-1, keepdims=True)
+    p = jnp.exp2(logits2 - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bkhd->bqhd", (p / l).astype(q.dtype), v,
+                     preferred_element_type=q.dtype)
+    lse2 = (m + jnp.log2(l))[..., 0].transpose(0, 2, 1)  # (B, S_q, H)
+    return out, lse2

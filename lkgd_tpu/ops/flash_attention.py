@@ -28,6 +28,17 @@ def _mask_padded_keys(s, block_start, kv_valid):
     return jnp.where(pos < kv_valid, s, _NEG_INF)
 
 
+def _mask_if_padded(s, block_start, block_k, kv_valid):
+    """Padded-key mask, skipped for fully-valid k blocks. Padding is always < block_k
+    (sequences pad up to the next block multiple), so at most the last block pays the
+    iota+where VPU cost — e.g. 1 of 18 blocks at CogVideoX S=17776 instead of all 18."""
+    return jax.lax.cond(
+        block_start + block_k > kv_valid,
+        lambda x: _mask_padded_keys(x, block_start, kv_valid),
+        lambda x: x,
+        s)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch, *,
                   scale: float, n_k_blocks: int, block_k: int, kv_valid):
     j = pl.program_id(2)
@@ -47,7 +58,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (scale * 1.4426950408889634)
     if kv_valid is not None:
-        s = _mask_padded_keys(s, j * block_k, kv_valid)
+        s = _mask_if_padded(s, j * block_k, block_k, kv_valid)
 
     m_prev = m_scratch[...]  # (BQ, 128) lane-replicated, log2 domain
     l_prev = l_scratch[...]
@@ -90,7 +101,7 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
         if kv_valid is not None:
-            s = _mask_padded_keys(s, ki * block_k, kv_valid)
+            s = _mask_if_padded(s, ki * block_k, block_k, kv_valid)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_next)
@@ -127,7 +138,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
         if kv_valid is not None:
-            s = _mask_padded_keys(s, ki * block_k, kv_valid)
+            s = _mask_if_padded(s, ki * block_k, block_k, kv_valid)
         p = jnp.exp2(s - lse)  # (BQ, BK)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -156,7 +167,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * (scale * _LOG2E)
         if kv_valid is not None:
-            s = _mask_padded_keys(s, j * block_k, kv_valid)
+            s = _mask_if_padded(s, j * block_k, block_k, kv_valid)
         p = jnp.exp2(s - lse)  # (BQ, BK)
         dv = dv + jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -254,21 +265,33 @@ def _vmem_bytes(bq: int, bk: int, d: int) -> int:
 _VMEM_LIMIT = 12 * 1024 * 1024
 
 
-def _pick_blocks(s_q: int, s_k: int, d: int):
-    """Largest (block_q, block_k) dividing the sequence lengths that fits VMEM.
+_BLOCK_CANDIDATES = (1024, 768, 512, 384, 256, 128)
+# Rough measured TF/s per block size on v5e at D=64 (BASELINE.md block sweeps: (1024,1024)
+# 41.3, (768,768)/(1536,1536) ~40, (512,512) 25.9, (256,256) ~23; 128 extrapolated). Used
+# only as relative weights to trade block size against padding waste.
+_BLOCK_EFF = {1024: 41.0, 768: 38.0, 512: 26.0, 384: 24.0, 256: 23.0, 128: 12.0}
 
-    Non-power-of-2 candidates matter: SVD's level-1 spatial attention is S=2304, where
-    (768, 768) measured ~3x faster than the (256, 256) a power-of-2-only list forces
-    (BASELINE.md block sweeps)."""
-    for bq in (1024, 768, 512, 384, 256, 128):
-        if s_q % bq:
-            continue
-        for bk in (1024, 768, 512, 384, 256, 128):
-            if s_k % bk:
+
+def _plan_blocks(s_q: int, s_k: int, d: int):
+    """Jointly choose (block_q, block_k) and padded lengths (sq_p, sk_p).
+
+    Minimizes padded work / block efficiency, so an already-tileable length is never
+    padded just to reach a bigger block (S=2304 stays at (768, 768) — measured ~3x the
+    (256, 256) fallback — instead of padding to 3072 for (1024, 1024)), while a
+    non-tileable length (CogVideoX S=17776) pads up to the cheapest tiling.
+    Returns (bq, bk, sq_p, sk_p) or None if nothing fits VMEM."""
+    best = None
+    for bq in _BLOCK_CANDIDATES:
+        sq_p = -(-s_q // bq) * bq
+        for bk in _BLOCK_CANDIDATES:
+            sk_p = -(-s_k // bk) * bk
+            if _vmem_bytes(bq, bk, d) > _VMEM_LIMIT:
                 continue
-            if _vmem_bytes(bq, bk, d) <= _VMEM_LIMIT:
-                return bq, bk
-    return 0, 0
+            eff = min(_BLOCK_EFF[bq], _BLOCK_EFF[bk])
+            cost = sq_p * sk_p / eff
+            if best is None or cost < best[0]:
+                best = (cost, bq, bk, sq_p, sk_p)
+    return None if best is None else best[1:]
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_valid"))
@@ -304,20 +327,13 @@ def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, bl
     )(q, k, v)
 
 
-def _padded_len(s: int) -> int:
-    """Next length whose blocks the kernel can tile: multiple of 1024 (128 under 1024)."""
-    unit = 1024 if s >= 1024 else 128
-    return -(-s // unit) * unit
-
-
 def supports(q_shape, k_shape) -> bool:
     """Whether the kernel handles these (B, S, H, D) shapes (padding any sequence up to
     a block multiple, with padded keys masked out of the softmax)."""
     s_q, s_k, d = q_shape[1], k_shape[1], q_shape[3]
     if d % 8 != 0 or d > 512:
         return False
-    bq, bk = _pick_blocks(_padded_len(s_q), _padded_len(s_k), d)
-    return bq > 0
+    return _plan_blocks(s_q, s_k, d) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -420,6 +436,31 @@ _split_heads.defvjp(_split_heads_fwd, _split_heads_bwd)
 _merge_heads.defvjp(_merge_heads_fwd, _merge_heads_bwd)
 
 
+def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """(B, S, H, D) attention returning (out, lse2) where ``lse2`` (B, S_q, H, fp32) is the
+    log2-domain logsumexp of the scaled logits. Forward-only (no custom VJP) — used by
+    ring attention (parallel/sequence.py) to combine per-K/V-block partial softmaxes
+    exactly: out = Σ_blk out_blk · 2^(lse_blk − LSE)."""
+    b, s_q, h, d = q.shape
+    s_k = k.shape[1]
+    plan = _plan_blocks(s_q, s_k, d)
+    if plan is None:
+        raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
+    bq, bk, sq_p, sk_p = plan
+    if sq_p != s_q or sk_p != s_k:
+        q = jnp.pad(q, ((0, 0), (0, sq_p - s_q), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, sk_p - s_k), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - s_k), (0, 0), (0, 0)))
+    kv_valid = s_k if sk_p != s_k else None
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq_p, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk_p, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, sk_p, d)
+    out, lse = _flash_fwd_lse_bhsd(qt, kt, vt, bq, bk, kv_valid)
+    out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)[:, :s_q]
+    lse = lse.reshape(b, h, sq_p).transpose(0, 2, 1)[:, :s_q]  # (B, S_q, H)
+    return out, lse
+
+
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """(B, S, H, D) softmax attention via the Pallas kernel. Differentiable: a custom VJP
     recomputes the probabilities per block from the saved logsumexp (standard flash
@@ -431,15 +472,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     # up to a block multiple; padded keys are masked to -inf inside the kernels and
     # padded query rows are sliced off (their gradients are exactly zero because the
     # padded output rows receive zero cotangents through jnp.pad's VJP)
-    sq_p, sk_p = _padded_len(s_q), _padded_len(s_k)
+    plan = _plan_blocks(s_q, s_k, d)
+    if plan is None:
+        raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
+    bq, bk, sq_p, sk_p = plan
     if sq_p != s_q or sk_p != s_k:
         q = jnp.pad(q, ((0, 0), (0, sq_p - s_q), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, sk_p - s_k), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, sk_p - s_k), (0, 0), (0, 0)))
     kv_valid = s_k if sk_p != s_k else None
-    bq, bk = _pick_blocks(sq_p, sk_p, d)
-    if bq == 0 or bk == 0:
-        raise ValueError(f"unsupported flash shapes S_q={s_q}, S_k={s_k}, D={d}")
     itemsize = q.dtype.itemsize
     firewall = (h > 1 and _pick_seq_block(sq_p, h * d, itemsize) > 0
                 and _pick_seq_block(sk_p, h * d, itemsize) > 0)

@@ -90,11 +90,7 @@ class StableVideoDiffusionPipeline:
         self.vae_scale_factor = 2 ** (len(vae_config.block_out_channels) - 1)
         self.latent_height = config.height // self.vae_scale_factor
         self.latent_width = config.width // self.vae_scale_factor
-        import inspect
-
-        static = tuple(n for n in ("output_latents",)
-                       if n in inspect.signature(self._generate_impl).parameters)
-        self._generate = jax.jit(self._generate_impl, static_argnames=static)
+        self._generate = jax.jit(self._generate_impl)
         self._decode = jax.jit(self.decode_latents)
 
     # ------------------------------------------------------------------ param init

@@ -103,16 +103,46 @@ class TestPipelineAndTraining:
         assert losses[-1] < losses[0]
 
 
-def test_cogvideox_mesh_inference():
+def test_cogvideox_mesh_inference_matches_unsharded():
     from lkgd_tpu.parallel.mesh import make_mesh, replicated
 
     mesh = make_mesh({"data": 2, "context": 4})
     # (29-1)/4+1 = 8 latent frames -> divisible by context=4
     pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=29,
                                    num_inference_steps=2)
+    pipe0 = CogVideoXImageToVideoPipeline(pcfg, TCFG, dtype=jnp.float32)
+    params = pipe0.init_params(jax.random.PRNGKey(0))
+    prompt, img = jnp.ones((1, 8, 64)), jnp.ones((1, 4, 4, 4))
+    ref = pipe0(params, prompt, img)
+
     pipe = CogVideoXImageToVideoPipeline(pcfg, TCFG, dtype=jnp.float32, mesh=mesh)
     with jax.set_mesh(mesh):
-        params = jax.device_put(pipe.init_params(jax.random.PRNGKey(0)), replicated(mesh))
-        out = pipe(params, jnp.ones((1, 8, 64)), jnp.ones((1, 4, 4, 4)))
+        sharded = jax.device_put(params, replicated(mesh))
+        out = pipe(sharded, prompt, img)
     assert out.shape == (1, 8, 4, 4, 4)
-    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cogvideox_sequence_parallel_matches_dense():
+    """Ulysses / ring SP attention inside the DiT must reproduce the dense model —
+    same params, full pipeline, 4-way context mesh (VERDICT round-1 item #3)."""
+    from lkgd_tpu.parallel.mesh import make_mesh, replicated
+
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=29,
+                                   num_inference_steps=2)
+    import dataclasses
+
+    tcfg = dataclasses.replace(CogVideoXConfig.tiny(), num_attention_heads=4)  # ulysses: H % P == 0
+    pipe0 = CogVideoXImageToVideoPipeline(pcfg, tcfg, dtype=jnp.float32)
+    params = pipe0.init_params(jax.random.PRNGKey(0))
+    prompt, img = jnp.ones((1, 8, 64)) * 0.3, jnp.ones((1, 4, 4, 4)) * 0.5
+    ref = pipe0(params, prompt, img)
+
+    mesh = make_mesh({"context": 4}, jax.devices()[:4])
+    for mode in ("ulysses", "ring"):
+        sp_cfg = dataclasses.replace(tcfg, sequence_parallel=mode)
+        pipe = CogVideoXImageToVideoPipeline(pcfg, sp_cfg, dtype=jnp.float32, mesh=mesh)
+        with jax.set_mesh(mesh):
+            sharded = jax.device_put(params, replicated(mesh))
+            out = pipe(sharded, prompt, img)
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5, err_msg=mode)
