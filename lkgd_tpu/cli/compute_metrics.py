@@ -19,6 +19,20 @@ import os
 import numpy as np
 
 
+def _load_state_dict(path: str) -> dict:
+    """torch .pth/.pt (via torch.load) or .safetensors -> flat name->ndarray dict."""
+    if path.endswith(".safetensors"):
+        from lkgd_tpu.utils.porting import load_safetensors
+
+        return load_safetensors(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
 def _load_dir(path: str, max_items: int):
     from lkgd_tpu.data.video_io import load_input
 
@@ -32,6 +46,10 @@ def main():
     p.add_argument("--generated", required=True)
     p.add_argument("--reference", required=True)
     p.add_argument("--weights", help="dir with image_encoder.safetensors for real CLIP feats")
+    p.add_argument("--inception-weights",
+                   help="pytorch-fid InceptionV3 state dict (.pth/.pt/.safetensors) -> real FID")
+    p.add_argument("--i3d-weights",
+                   help="pytorch-i3d Kinetics-400 state dict -> real FVD")
     p.add_argument("--pred-depth")
     p.add_argument("--gt-depth")
     p.add_argument("--max-items", type=int, default=256)
@@ -85,6 +103,33 @@ def main():
         results["clip_fid"] = M.fid_from_features(rf, gf)
         if len(gv) > 1 and len(rv) > 1:
             results["clip_fvd"] = M.fvd_from_features(rv, gv)
+
+    # real (published-comparable) FID / FVD, given ported extractor weights
+    if gen and ref and args.inception_weights:
+        from lkgd_tpu.eval import fid_inception
+
+        ip = fid_inception.port_torch_state_dict(_load_state_dict(args.inception_weights))
+        ex = fid_inception.make_fid_feature_extractor(ip)
+        gf = np.concatenate([np.asarray(ex(jnp.asarray(v))) for v in gen])
+        rf = np.concatenate([np.asarray(ex(jnp.asarray(v))) for v in ref])
+        results["fid"] = M.fid_from_features(rf, gf)
+    if gen and ref and args.i3d_weights and len(gen) > 1 and len(ref) > 1:
+        from lkgd_tpu.eval import i3d as i3d_mod
+        from lkgd_tpu.ops.resize import resize_with_antialiasing
+
+        ip = i3d_mod.port_torch_state_dict(_load_state_dict(args.i3d_weights))
+        ex = i3d_mod.make_fvd_feature_extractor(ip)
+
+        def vfeat(v):
+            x = jnp.asarray(v)[None]  # (1, T, H, W, 3)
+            x = resize_with_antialiasing(
+                x.reshape((-1,) + x.shape[2:]), (224, 224)).reshape(
+                x.shape[:2] + (224, 224, 3))
+            return np.asarray(ex(x))[0]
+
+        gv = np.stack([vfeat(v) for v in gen])
+        rv = np.stack([vfeat(v) for v in ref])
+        results["fvd"] = M.fvd_from_features(rv, gv)
 
     if args.pred_depth and args.gt_depth:
         import jax.numpy as jnp

@@ -1,0 +1,177 @@
+"""Checkpoint parity verifier — the fp32-tolerance report for the driver's parity metric.
+
+Given (a) a real checkpoint (diffusers safetensors layout) and (b) recorded reference
+activations (inputs + denoised outputs captured from the PyTorch reference with the same
+weights), ports the weights, replays the recorded inputs through our model, and emits a
+JSON report of fp32-tolerance agreement. The reference-side recording is a plain ``.npz``
+any torch script can produce (keys: ``sample, timestep, encoder_hidden_states,
+added_time_ids, output, config``); ``record`` mode produces the same format from OUR
+model so the harness is testable end-to-end without gated weights
+(tests/test_verify_parity.py) and so regressions can be caught self-referentially.
+
+  # harness self-test / regression fingerprint
+  python -m lkgd_tpu.cli.verify_parity record --config tiny --out rec.npz
+  # the driver's parity check (BASELINE.json: fp32 tolerance on denoised latents)
+  python -m lkgd_tpu.cli.verify_parity check --record rec.npz \
+      --checkpoint /ckpts/svd-xt/unet/diffusion_pytorch_model.safetensors \
+      --report parity.json --rtol 1e-4 --atol 1e-4
+
+Reference analog: the torch pipelines load these checkpoints via ``from_pretrained``
+(`run_models/run_inference_trans_svd.py`); parity of the UNet denoise step at fp32 is
+the strongest single-step equivalence evidence available without a full clip rollout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+TINY = dict(block_out_channels=(32, 64),
+            down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
+            up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
+            layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=64)
+
+
+def _config_from_dict(d: dict):
+    from lkgd_tpu.models.configs import SVDUNetConfig
+
+    clean = {}
+    for f in dataclasses.fields(SVDUNetConfig):
+        if f.name in d and f.name not in ("joint", "lora"):
+            v = d[f.name]
+            clean[f.name] = tuple(v) if isinstance(v, list) else v
+    return SVDUNetConfig(**clean)
+
+
+def _resolve_weights(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    for cand in ("diffusion_pytorch_model.safetensors",
+                 os.path.join("unet", "diffusion_pytorch_model.safetensors"),
+                 "unet.safetensors"):
+        p = os.path.join(path, cand)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"no safetensors found under {path}")
+
+
+def _build(config_dict: dict, dtype):
+    from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+
+    return UNetSpatioTemporalCondition(_config_from_dict(config_dict), dtype=dtype)
+
+
+def record(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    cfg_dict = TINY if args.config == "tiny" else {}
+    if args.config_json:
+        cfg_dict = {**cfg_dict, **json.loads(args.config_json)}
+    unet = _build(cfg_dict, jnp.float32)
+    c = unet.config
+    b, t = args.batch, args.frames
+    h, w = args.height // 8, args.width // 8
+    rng = np.random.default_rng(args.seed)
+    sample = rng.standard_normal((b, t, h, w, c.in_channels)).astype(np.float32)
+    timestep = np.full((b,), 0.25 * np.log(7.0), np.float32)
+    ehs = rng.standard_normal((b, 1, c.cross_attention_dim)).astype(np.float32)
+    add_ids = np.asarray([[6.0, 127.0, 0.02]] * b, np.float32)
+
+    if args.checkpoint:
+        from lkgd_tpu.utils import porting
+
+        template = jax.eval_shape(lambda: unet.init(
+            jax.random.PRNGKey(0), sample, timestep, ehs, add_ids))
+        params = porting.port_svd_unet(
+            porting.load_safetensors(_resolve_weights(args.checkpoint)), template,
+            strict=not args.lenient)
+    else:
+        params = unet.init(jax.random.PRNGKey(args.seed), sample, timestep, ehs, add_ids)
+    out = np.asarray(jax.jit(unet.apply)(params, sample, timestep, ehs, add_ids))
+    np.savez_compressed(
+        args.out, sample=sample, timestep=timestep, encoder_hidden_states=ehs,
+        added_time_ids=add_ids, output=out,
+        config=json.dumps({**{k: getattr(unet.config, k) for k in
+                              ("in_channels", "out_channels", "layers_per_block",
+                               "cross_attention_dim", "num_frames")},
+                           **{k: list(getattr(unet.config, k)) for k in
+                              ("block_out_channels", "down_block_types",
+                               "up_block_types", "num_attention_heads")}}))
+    print(f"recorded {out.shape} denoise output -> {args.out}")
+
+
+def check(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    rec = np.load(args.record, allow_pickle=False)
+    cfg_dict = json.loads(str(rec["config"]))
+    unet = _build(cfg_dict, jnp.float32)
+    sample = rec["sample"]
+    inputs = (sample, rec["timestep"], rec["encoder_hidden_states"],
+              rec["added_time_ids"])
+
+    from lkgd_tpu.utils import porting
+
+    template = jax.eval_shape(lambda: unet.init(jax.random.PRNGKey(0), *inputs))
+    params = porting.port_svd_unet(
+        porting.load_safetensors(_resolve_weights(args.checkpoint)), template,
+        strict=not args.lenient)
+    got = np.asarray(jax.jit(unet.apply)(params, *inputs), np.float32)
+    want = np.asarray(rec["output"], np.float32)
+
+    abs_err = np.abs(got - want)
+    denom = np.maximum(np.abs(want), 1e-8)
+    report = {
+        "checkpoint": args.checkpoint,
+        "record": args.record,
+        "shape": list(want.shape),
+        "max_abs_err": float(abs_err.max()),
+        "mean_abs_err": float(abs_err.mean()),
+        "max_rel_err": float((abs_err / denom).max()),
+        "rtol": args.rtol, "atol": args.atol,
+        "pass": bool(np.allclose(got, want, rtol=args.rtol, atol=args.atol)),
+    }
+    print(json.dumps(report, indent=2))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0 if report["pass"] else 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+    pr = sub.add_parser("record")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--config", default="tiny", choices=["tiny", "svd-xt"])
+    pr.add_argument("--config-json", help="extra SVDUNetConfig field overrides")
+    pr.add_argument("--checkpoint", help="optional safetensors to record WITH real weights")
+    pr.add_argument("--lenient", action="store_true")
+    pr.add_argument("--batch", type=int, default=2)
+    pr.add_argument("--frames", type=int, default=2)
+    pr.add_argument("--height", type=int, default=64)
+    pr.add_argument("--width", type=int, default=64)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.set_defaults(fn=record)
+    pc = sub.add_parser("check")
+    pc.add_argument("--record", required=True)
+    pc.add_argument("--checkpoint", required=True)
+    pc.add_argument("--report")
+    pc.add_argument("--rtol", type=float, default=1e-4)
+    pc.add_argument("--atol", type=float, default=1e-4)
+    pc.add_argument("--lenient", action="store_true")
+    pc.set_defaults(fn=check)
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    return rc or 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

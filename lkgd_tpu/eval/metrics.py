@@ -3,9 +3,11 @@
 Re-implements `/root/reference/gradios/compute_metrics.py` (FID :124-131, CLIP score
 :139-152, CLIP-aesthetic MLP :156+) and the depth metrics of `eval_depth.ipynb` (abs-rel /
 delta accuracies with Marigold least-squares alignment :98-119), plus PSNR/SSIM for the
-driver's parity checks. Frechet distances take *features* from a pluggable extractor
-(InceptionV3/I3D weights are external; CLIP features — models.clip_vision — are the
-built-in extractor, i.e. CLIP-FID/CLIP-FVD).
+driver's parity checks. Frechet distances take *features* from a pluggable extractor:
+eval.fid_inception (pytorch-fid InceptionV3 -> standard FID) and eval.i3d (Kinetics-400
+I3D -> standard FVD) are the real, published-comparable extractors (weights ported via
+their port_torch_state_dict); CLIP features — models.clip_vision — give the cheaper
+CLIP-FID/CLIP-FVD and are always labeled as such.
 """
 
 from __future__ import annotations

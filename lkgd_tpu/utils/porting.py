@@ -107,11 +107,14 @@ def _template_leaves(template) -> Dict[Tuple[str, ...], Tuple[Tuple[int, ...], n
 
 def port_state_dict(state_dict: Dict[str, np.ndarray], template,
                     key_map: Optional[Callable[[str], Optional[str]]] = None,
-                    strict: bool = True):
+                    strict: bool = True, materialize: bool = True):
     """Build a params pytree shaped like ``template`` from a torch state dict.
 
     ``key_map``: optional pre-translation hook (rename/drop torch keys; return None to
     skip a key). Raises on unmatched template leaves or unconsumed torch keys if strict.
+    ``materialize=False`` runs the full key/shape audit (same failures) but skips the
+    dtype-cast copies and returns None — an O(1)-memory coverage check usable against
+    full-size checkpoint manifests.
     """
     leaves = _template_leaves(template)
     produced: Dict[Tuple[str, ...], np.ndarray] = {}
@@ -133,7 +136,7 @@ def port_state_dict(state_dict: Dict[str, np.ndarray], template,
         if fitted is None:
             raise ValueError(f"{key}: cannot fit shape {np.shape(tensor)} into "
                              f"{leaves[path][0]} at {'/'.join(path)}")
-        produced[path] = fitted.astype(leaves[path][1])
+        produced[path] = fitted.astype(leaves[path][1]) if materialize else fitted
 
     missing = [p for p in leaves if p not in produced]
     if strict and (missing or unused):
@@ -144,6 +147,8 @@ def port_state_dict(state_dict: Dict[str, np.ndarray], template,
         if unused:
             msg.append(f"unused {len(unused)} torch keys, e.g. " + ", ".join(unused[:5]))
         raise ValueError("; ".join(msg))
+    if not materialize:
+        return None
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
@@ -221,6 +226,9 @@ def vae_key_map(key: str) -> Optional[str]:
     k = re.sub(r"up_blocks\.(\d+)\.resnets\.(\d+)", r"up_blocks_\1_resnets_\2", k)
     k = re.sub(r"up_blocks\.(\d+)\.upsamplers\.0\.conv", r"up_blocks_\1_upsamplers_0", k)
     k = re.sub(r"down_blocks\.(\d+)\.downsamplers\.0\.conv", r"down_blocks.\1.downsamplers_0", k)
+    # the decoder's SpatioTemporalResBlock AlphaBlender: our param sits directly on the
+    # block (models/vae_temporal.py mix_factor), diffusers nests it under time_mixer
+    k = k.replace(".time_mixer.mix_factor", ".mix_factor")
     return k
 
 
@@ -325,6 +333,66 @@ def cogvideox_key_map(key: str) -> Optional[str]:
 
 def port_cogvideox(state_dict, template, strict: bool = True):
     return port_state_dict(state_dict, template, key_map=cogvideox_key_map, strict=strict)
+
+
+# ---------------------------------------------------------------- export-side key maps
+# (inverses of the import maps above: our canonical export names -> the exact names in
+# the published checkpoints; used by export_state_dict key_map= and by the checkpoint
+# manifests in utils/checkpoint_manifest.py)
+def svd_export_key_map(key: str) -> str:
+    """Our export naming -> LKGD/diffusers SVD checkpoint naming (quaternion fusion
+    modules live at top level as ``quaternion_lora_*``, reference unet :197-225)."""
+    if key.startswith("knowledge_fusion."):
+        k = key[len("knowledge_fusion."):]
+        k = k.replace("fuse_sf_0", "fuse_sf.0").replace("fuse_sf_2", "fuse_sf.2")
+        return "quaternion_lora_" + k
+    return key
+
+
+def cogvideox_export_key_map(key: str) -> str:
+    """Our export naming -> diffusers CogVideoXTransformer3DModel checkpoint naming."""
+    k = key.replace("patch_embed_proj", "patch_embed.proj")
+    k = k.replace("patch_embed_text_proj", "patch_embed.text_proj")
+    k = k.replace("norm_out_linear", "norm_out.linear")
+    k = k.replace("norm_out_norm", "norm_out.norm")
+    k = k.replace(".ff_0.", ".ff.net.0.proj.").replace(".ff_2.", ".ff.net.2.")
+    return svd_export_key_map(k)
+
+
+def vae_export_key_map(key: str) -> str:
+    """Our export naming (post generic list restore) -> diffusers
+    AutoencoderKLTemporalDecoder checkpoint naming."""
+    k = key.replace("mid_block_resnets_", "mid_block.resnets.")
+    k = k.replace("mid_block_attentions_", "mid_block.attentions.")
+    # generic restore already turned up_blocks_N into up_blocks.N; the rest of the
+    # flattened decoder name (_resnets_M / _upsamplers_0) it cannot see
+    k = re.sub(r"up_blocks\.(\d+)_resnets_(\d+)", r"up_blocks.\1.resnets.\2", k)
+    k = re.sub(r"up_blocks\.(\d+)_upsamplers_0", r"up_blocks.\1.upsamplers.0.conv", k)
+    k = re.sub(r"down_blocks\.(\d+)\.downsamplers\.0\b", r"down_blocks.\1.downsamplers.0.conv", k)
+    k = re.sub(r"(resnets\.\d+)\.mix_factor", r"\1.time_mixer.mix_factor", k)
+    return k
+
+
+def clip_export_key_map(key: str) -> str:
+    """Our export naming -> transformers CLIPVisionModelWithProjection naming."""
+    k = key
+    if k.startswith("layers."):
+        parts = k.split(".")
+        rest = ".".join(parts[2:])
+        if rest.startswith(("q_proj", "k_proj", "v_proj", "out_proj")):
+            rest = "self_attn." + rest
+        elif rest.startswith(("fc1", "fc2")):
+            rest = "mlp." + rest
+        return f"vision_model.encoder.layers.{parts[1]}.{rest}"
+    if k == "class_embedding":
+        return "vision_model.embeddings.class_embedding"
+    if k == "position_embedding":
+        return "vision_model.embeddings.position_embedding.weight"
+    if k.startswith("patch_embedding"):
+        return "vision_model.embeddings.patch_embedding.weight"
+    if k.startswith(("pre_layrnorm", "post_layernorm")):
+        return f"vision_model.{k}"
+    return k  # visual_projection.*
 
 
 def rife_key_map(key: str) -> Optional[str]:

@@ -94,18 +94,11 @@ class TestVAEPorting:
                                                              layers_per_block=1))
         params = _randomize(vae.init(jax.random.PRNGKey(0), jnp.ones((2, 32, 32, 3)),
                                      num_frames=2))
-        sd = porting.export_state_dict(params)
-        # restore true diffusers names for the VAE-specific bits before re-importing
-        sd2 = {}
-        for k, v in sd.items():
-            k = k.replace("mid_block_resnets_", "mid_block.resnets.")
-            k = k.replace("mid_block_attentions_", "mid_block.attentions.")
-            import re
-            k = re.sub(r"up_blocks_(\d+)_resnets_(\d+)", r"up_blocks.\1.resnets.\2", k)
-            k = re.sub(r"up_blocks_(\d+)_upsamplers_0", r"up_blocks.\1.upsamplers.0.conv", k)
-            k = re.sub(r"down_blocks\.(\d+)\.downsamplers\.0\b", r"down_blocks.\1.downsamplers.0.conv", k)
-            sd2[k] = v
-        back = porting.port_temporal_vae(sd2, params)
+        # export in true diffusers naming, then re-import
+        sd = porting.export_state_dict(params, key_map=porting.vae_export_key_map)
+        assert any(".time_mixer.mix_factor" in k for k in sd)
+        assert any(k.startswith("decoder.up_blocks.0.resnets.0.") for k in sd)
+        back = porting.port_temporal_vae(sd, params)
         _assert_trees_equal(params, back)
 
 
@@ -115,28 +108,10 @@ class TestCLIPPorting:
         m = CLIPVisionModelWithProjection(cfg)
         params = _randomize(m.init(jax.random.PRNGKey(0),
                                    jnp.ones((1, cfg.image_size, cfg.image_size, 3))))
-        sd = porting.export_state_dict(params)
-        # rebuild transformers-style names
-        hf = {}
-        for k, v in sd.items():
-            if k.startswith("layers."):
-                parts = k.split(".")
-                rest = ".".join(parts[2:])
-                if rest.startswith(("q_proj", "k_proj", "v_proj", "out_proj")):
-                    rest = "self_attn." + rest
-                elif rest.startswith(("fc1", "fc2")):
-                    rest = "mlp." + rest
-                hf[f"vision_model.encoder.layers.{parts[1]}.{rest}"] = v
-            elif k == "class_embedding":
-                hf["vision_model.embeddings.class_embedding"] = v
-            elif k == "position_embedding":
-                hf["vision_model.embeddings.position_embedding.weight"] = v
-            elif k.startswith("patch_embedding"):
-                hf["vision_model.embeddings.patch_embedding.weight"] = v
-            elif k.startswith(("pre_layrnorm", "post_layernorm")):
-                hf[f"vision_model.{k}"] = v
-            else:
-                hf[k] = v  # visual_projection
+        # export in transformers naming, then re-import
+        hf = porting.export_state_dict(params, key_map=porting.clip_export_key_map)
+        assert any(k.startswith("vision_model.encoder.layers.0.self_attn.") for k in hf)
+        assert "vision_model.embeddings.class_embedding" in hf
         back = porting.port_clip_vision(hf, params)
         _assert_trees_equal(params, back)
 
@@ -151,19 +126,9 @@ class TestCogVideoXPorting:
             jax.random.PRNGKey(0), jnp.ones((1, 3, 4, 4, 8)), jnp.ones((1, 8, 64)),
             jnp.zeros((1,)), domain_features=dom, flow_features=dom))
 
-        # export then restore true diffusers-style names for the cogvideox-specific bits
-        sd = porting.export_state_dict(params)
-        sd2 = {}
-        for k, v in sd.items():
-            k = k.replace("patch_embed_proj", "patch_embed.proj")
-            k = k.replace("patch_embed_text_proj", "patch_embed.text_proj")
-            k = k.replace("norm_out_linear", "norm_out.linear")
-            k = k.replace("norm_out_norm", "norm_out.norm")
-            k = k.replace(".ff_0.", ".ff.net.0.proj.").replace(".ff_2.", ".ff.net.2.")
-            if k.startswith("knowledge_fusion."):
-                kk = k[len("knowledge_fusion."):]
-                kk = kk.replace("fuse_sf_0", "fuse_sf.0").replace("fuse_sf_2", "fuse_sf.2")
-                k = "quaternion_lora_" + kk
-            sd2[k] = v
-        back = porting.port_cogvideox(sd2, params)
+        # export in true diffusers naming (+ quaternion_lora_ fusion), then re-import
+        sd = porting.export_state_dict(params, key_map=porting.cogvideox_export_key_map)
+        assert any(k.startswith("quaternion_lora_") for k in sd)
+        assert any(".ff.net.0.proj." in k for k in sd)
+        back = porting.port_cogvideox(sd, params)
         _assert_trees_equal(params, back)

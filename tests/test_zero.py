@@ -1,0 +1,97 @@
+"""pjit-native ZeRO: optimizer moments sharded over the data axis survive jitted
+updates (out_shardings pinned), per-device moment memory drops ~data-axis-fold, and the
+sharded step is numerically identical to the replicated one."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lkgd_tpu.models.configs import SVDUNetConfig
+from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+from lkgd_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from lkgd_tpu.training.train_state import (
+    SVDTrainConfig, init_train_state, make_optimizer, make_svd_train_step)
+from lkgd_tpu.training.trainer import make_zero_train_step, zero_shardings
+
+TINY = SVDUNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
+    up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
+    layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=64)
+
+
+def _setup():
+    unet = UNetSpatioTemporalCondition(TINY, dtype=jnp.float32)
+    b, t, h, w = 4, 2, 8, 8
+    batch = {
+        "latents": jnp.asarray(np.random.default_rng(0).standard_normal(
+            (b, t, h, w, 4)), jnp.float32),
+        "cond_latents": jnp.ones((b, h, w, 4), jnp.float32) * 0.1,
+        "image_embeddings": jnp.ones((b, 1, 64), jnp.float32),
+    }
+    params = unet.init(jax.random.PRNGKey(0), jnp.ones((b, t, h, w, 8)),
+                       jnp.zeros((b,)), batch["image_embeddings"], jnp.ones((b, 3)))
+    opt = make_optimizer(1e-3)
+    step = make_svd_train_step(unet, opt, SVDTrainConfig())
+    return params, opt, step, batch
+
+
+def test_zero_moments_stay_sharded_and_match_replicated():
+    mesh = make_mesh({"data": 4}, jax.devices()[:4])
+    params, opt, train_step, batch = _setup()
+
+    # replicated reference run
+    state0 = init_train_state(params, opt)
+    ref_step = jax.jit(train_step)
+    s_ref = state0
+    for i in range(2):
+        s_ref, loss_ref = ref_step(s_ref, batch, jax.random.PRNGKey(7))
+
+    with jax.set_mesh(mesh):
+        state = jax.device_put(init_train_state(params, opt), replicated(mesh))
+        zstep, zstate = make_zero_train_step(train_step, mesh, state)
+        sh = zero_shardings(mesh, state)
+        sharded_specs = [s.spec for s in jax.tree.leaves(sh.opt_state)
+                         if s.spec != jax.sharding.PartitionSpec()]
+        assert sharded_specs, "no opt-state leaf got sharded"
+        sbatch = shard_batch(mesh, batch, video_keys=("latents",))
+        for i in range(2):
+            zstate, loss = zstep(zstate, sbatch, jax.random.PRNGKey(7))
+
+    # 1) every moment leaf that should be sharded IS sharded after 2 donated updates
+    flat_sh = jax.tree.leaves(sh.opt_state)
+    flat_st = jax.tree.leaves(zstate.opt_state)
+    n_sharded = 0
+    for want, got in zip(flat_sh, flat_st):
+        assert got.sharding.spec == want.spec, (got.sharding, want)
+        if want.spec != jax.sharding.PartitionSpec():
+            n_sharded += 1
+            # 2) per-device bytes ~= total/4
+            shard = got.addressable_shards[0].data
+            assert shard.size * 4 == got.size, (shard.shape, got.shape)
+    assert n_sharded >= 10
+
+    # 3) numerically equivalent to the replicated run. The step-2 loss is computed from
+    # the step-1-updated params, so rtol 1e-5 agreement is end-to-end evidence. Params
+    # themselves can't be compared tightly: Adam normalizes update = m/sqrt(v), so for
+    # near-zero gradients the per-element update direction is sign-sensitive to the
+    # all-reduce summation order; bound by the 2-step Adam step size (2*lr) instead.
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(zstate.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3)
+
+
+def test_zero_memory_accounting():
+    """Sharded opt-state devices hold ~1/N of the moment bytes (the ZeRO memory win)."""
+    mesh = make_mesh({"data": 4}, jax.devices()[:4])
+    params, opt, train_step, batch = _setup()
+    with jax.set_mesh(mesh):
+        state = jax.device_put(init_train_state(params, opt), replicated(mesh))
+        _, zstate = make_zero_train_step(train_step, mesh, state)
+    total = local = 0
+    for leaf in jax.tree.leaves(zstate.opt_state):
+        total += leaf.size
+        local += leaf.addressable_shards[0].data.size
+    # moments dominate; most bytes shard 4-ways -> first device holds well under half
+    assert local < 0.45 * total, (local, total)
