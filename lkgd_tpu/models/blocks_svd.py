@@ -235,12 +235,14 @@ class BasicTransformerBlock(nn.Module):
     joint: Optional[JointAttentionConfig] = None
     block_path: str = ""
     lora: LoraRouter = EMPTY_ROUTER
+    track_fusion: bool = False  # patch_FSM joint-frame track fusion (patch_FSM.py:386-443)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, encoder_hidden_states: jnp.ndarray,
                  num_frames: int = 1, joint_scale=1.0,
-                 temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 temb: Optional[jnp.ndarray] = None, tracks=None,
+                 spatial_hw: Optional[tuple] = None) -> jnp.ndarray:
         norm_x = LayerNorm(dtype=self.dtype, name="norm1")(x)
         attn_out = Attention(
             self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1",
@@ -255,6 +257,18 @@ class BasicTransformerBlock(nn.Module):
                 dtype=self.dtype, name="joint")(norm_x, num_frames, flip_frames=True, temb=temb)
             attn_out = attn_out + joint_out * joint_scale
         x = x + attn_out
+
+        if self.track_fusion and tracks is not None:
+            # paired-frame track fusion after self-attention (patch_FSM.py:386-443):
+            # dst features route onto src coordinates through the tracks, fuse through
+            # a zero-init 3x3 conv, and both streams get residual adds
+            from lkgd_tpu.ops.track_fusion import track_scatter_fusion
+
+            h, w = spatial_hw
+            src_idx, dst_idx, visibility = tracks
+            conv = nn.Conv(2 * self.dim, (3, 3), padding=1, dtype=self.dtype,
+                           kernel_init=nn.initializers.zeros, name="conv_fuse")
+            x = track_scatter_fusion(x, src_idx, dst_idx, visibility, conv, h, w)
 
         norm_x = LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + Attention(

@@ -47,6 +47,9 @@ class UNet2DConfig:
     cond_embedding_blocks: Tuple[int, ...] = (16, 32, 96, 256)
     joint: Optional[JointAttentionConfig] = None
     lora: LoraRouter = EMPTY_ROUTER
+    # patch_FSM joint-frame track fusion in the spatial blocks (patch_FSM.py:386-443);
+    # forward then takes tracks=(src_xy, dst_xy, visibility) in pixel coords
+    track_fusion: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -63,21 +66,34 @@ class Transformer2DModel(nn.Module):
     joint: Optional[JointAttentionConfig] = None
     block_path: str = ""
     lora: LoraRouter = EMPTY_ROUTER
+    track_fusion: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, encoder_hidden_states, joint_scale=1.0, temb=None):
+    def __call__(self, x, encoder_hidden_states, joint_scale=1.0, temb=None,
+                 tracks=None, track_res=None):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
+        blk_tracks = None
+        if self.track_fusion and tracks is not None:
+            # quantize pixel tracks onto this level's feature grid (reference
+            # patch_FSM.py:427-431 downsample derivation)
+            from lkgd_tpu.ops.track_fusion import quantize_tracks
+
+            src_xy, dst_xy, vis = tracks
+            src_idx, dst_idx = quantize_tracks(src_xy, dst_xy, h, w, track_res[0] / h)
+            blk_tracks = (src_idx, dst_idx, vis)
         z = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm")(x).reshape(b, h * w, c)
         z = nn.Dense(inner, dtype=self.dtype, name="proj_in")(z)
         for i in range(self.num_layers):
             z = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, self.cross_attention_dim,
                 joint=self.joint, block_path=f"{self.block_path}.transformer_blocks.{i}",
-                lora=self.lora, dtype=self.dtype, name=f"transformer_blocks_{i}",
-            )(z, encoder_hidden_states, num_frames=1, joint_scale=joint_scale, temb=temb)
+                lora=self.lora, track_fusion=self.track_fusion,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(z, encoder_hidden_states, num_frames=1, joint_scale=joint_scale, temb=temb,
+              tracks=blk_tracks, spatial_hw=(h, w))
         z = nn.Dense(c, dtype=self.dtype, name="proj_out")(z)
         return z.reshape(b, h, w, c) + residual
 
@@ -119,9 +135,11 @@ class UNet2DCondition(nn.Module):
         down_block_additional_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
         joint_scale=1.0,
+        tracks=None,  # (src_xy, dst_xy, visibility) pixel-space point tracks
     ) -> jnp.ndarray:
         cfg = self.config
         b = sample.shape[0]
+        track_res = sample.shape[1:3]
 
         t_emb = get_timestep_embedding(
             jnp.broadcast_to(jnp.atleast_1d(timesteps), (b,)), cfg.block_out_channels[0],
@@ -150,8 +168,9 @@ class UNet2DCondition(nn.Module):
                         cfg.transformer_layers_per_block, heads, ch // heads,
                         cfg.cross_attention_dim, joint=cfg.joint,
                         block_path=f"down_blocks.{i}.attentions.{j}", lora=cfg.lora,
+                        track_fusion=cfg.track_fusion,
                         dtype=self.dtype, name=f"down_blocks_{i}_attentions_{j}",
-                    )(sample, ehs, joint_scale, emb)
+                    )(sample, ehs, joint_scale, emb, tracks, track_res)
                 res_samples = res_samples + (sample,)
             if i < len(cfg.block_out_channels) - 1:
                 sample = Downsample2D(ch, dtype=self.dtype,
@@ -168,8 +187,9 @@ class UNet2DCondition(nn.Module):
         sample = Transformer2DModel(
             cfg.transformer_layers_per_block, cfg.num_attention_heads[-1],
             ch // cfg.num_attention_heads[-1], cfg.cross_attention_dim, joint=cfg.joint,
-            block_path="mid_block.attentions.0", lora=cfg.lora, dtype=self.dtype,
-            name="mid_block_attentions_0")(sample, ehs, joint_scale, emb)
+            block_path="mid_block.attentions.0", lora=cfg.lora,
+            track_fusion=cfg.track_fusion, dtype=self.dtype,
+            name="mid_block_attentions_0")(sample, ehs, joint_scale, emb, tracks, track_res)
         sample = ResnetBlock2D(ch, dtype=self.dtype, name="mid_block_resnets_1")(sample, emb)
         if mid_block_additional_residual is not None:
             sample = sample + mid_block_additional_residual.reshape(sample.shape).astype(sample.dtype)
@@ -190,8 +210,9 @@ class UNet2DCondition(nn.Module):
                         cfg.transformer_layers_per_block, heads, ch // heads,
                         cfg.cross_attention_dim, joint=cfg.joint,
                         block_path=f"up_blocks.{i}.attentions.{j}", lora=cfg.lora,
+                        track_fusion=cfg.track_fusion,
                         dtype=self.dtype, name=f"up_blocks_{i}_attentions_{j}",
-                    )(sample, ehs, joint_scale, emb)
+                    )(sample, ehs, joint_scale, emb, tracks, track_res)
             if i < len(cfg.block_out_channels) - 1:
                 sample = Upsample2D(ch, dtype=self.dtype,
                                     name=f"up_blocks_{i}_upsamplers_0")(sample)
