@@ -25,6 +25,10 @@ def main():
     p.add_argument("--output", required=True)
     p.add_argument("--annotation", default="canny")
     p.add_argument("--max-frames", type=int, default=64)
+    p.add_argument("--weights", default=None,
+                   help="checkpoint for model-based annotators (depth: HF "
+                        "depth-anything-small safetensors/npz state dict)")
+    p.add_argument("--model-size", default="small", choices=("small", "base"))
     args = p.parse_args()
 
     from lkgd_tpu.data.video_io import load_input, write_video
@@ -52,6 +56,17 @@ def main():
             flow = flow_fns[hw](jnp.asarray(frames))
             img = np.asarray(flow_to_image_naive(flow))
             return np.concatenate([img, img[-1:]], axis=0)  # last frame repeats
+
+    if args.annotation == "depth":
+        from lkgd_tpu.models.depth_anything import (
+            DepthAnythingConfig, load_state_dict, make_depth_processor, port_depth_anything)
+
+        if not args.weights:
+            raise SystemExit("--annotation depth needs --weights (HF "
+                             "depth-anything state dict; external, egress-gated)")
+        cfg = getattr(DepthAnythingConfig, args.model_size)()
+        params = port_depth_anything(load_state_dict(args.weights), cfg)
+        cp.register_processor("depth", make_depth_processor(params, cfg))
 
     files = sorted(sum([glob.glob(os.path.join(args.input, e))
                         for e in ("*.mp4", "*.gif", "*.png", "*.jpg")], []))
