@@ -6,7 +6,19 @@ steps -> chunked temporal VAE decode) on the default device and prints ONE JSON 
    "vs_baseline": ...}
 vs_baseline = (10 s north-star target from BASELINE.json) / measured — >1 beats the target.
 
-Env overrides: LKGD_BENCH_SMALL=1 for a tiny smoke config; LKGD_BENCH_REPS=N.
+Env overrides:
+  LKGD_BENCH_SMALL=1     tiny smoke config
+  LKGD_BENCH_REPS=N      timing repetitions (default 3)
+  LKGD_BENCH_PIPELINE=   base (default) | trans | controlnet | smooth | cogvideox
+      base       the driver metric: plain img2vid (reference run_inference_svd.py)
+      trans      LKGD flagship: joint attention (spatial+temporal, attn1n branch per
+                 block) + 2 stream-masked r=64 LoRAs, [start, end] frame pair
+                 (reference run_inference_trans_svd.py)
+      controlnet ControlNet-SDV residuals on every step (reference run_inference.py)
+      smooth     long-video refiner: 28 frames re-denoised in 14-frame joint chunks
+                 (reference run_inference_svd_smooth.py)
+      cogvideox  ONE full-size CogVideoX-5B I2V DiT step (49f x 480x720 latents,
+                 CFG-doubled, S=17776) — s/step, not s/clip
 """
 
 from __future__ import annotations
@@ -20,14 +32,70 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+NORTH_STAR = 10.0  # s/clip target from BASELINE.json
 
-def main():
-    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
 
-    enable_persistent_cache()
-    small = bool(os.environ.get("LKGD_BENCH_SMALL"))
-    reps = int(os.environ.get("LKGD_BENCH_REPS", "3"))
+def _bf16(params):
+    return jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
+
+def _full_unet(num_frames=14, **kw):
+    from lkgd_tpu.models.configs import SVDUNetConfig
+
+    return SVDUNetConfig(num_frames=num_frames, **kw)
+
+
+def _joint_unet(num_frames=14, lora_rank=64):
+    """Full-size trans config: joint attention on spatial+temporal blocks, flip, and the
+    reference's stream-masked adapters (yx on the joint branch, xy on temporal attn1;
+    train_svd_trans_lora.py masks at rank 64, train_scripts/train_svd_trans_lora.sh)."""
+    from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, LoraRule
+
+    mask = (0, 1, 0, 1)
+    inv = tuple(1 - m for m in mask)
+    return _full_unet(
+        num_frames=num_frames,
+        joint=JointAttentionConfig(post="conv", flip=True, mask=mask, spatial=True,
+                                   temporal=True),
+        lora=LoraRouter(rules=(
+            LoraRule("*attn1n*", "yx_lora", lora_rank, lora_rank, mask),
+            LoraRule("*temporal_transformer_blocks*attn1.*", "xy_lora",
+                     lora_rank, lora_rank, inv),
+        )))
+
+
+def _pipeline_config(**kw):
+    from lkgd_tpu.pipelines.svd import SVDPipelineConfig
+
+    base = dict(height=576, width=1024, num_frames=14, num_inference_steps=25,
+                decode_chunk_size=14)
+    base.update(kw)
+    return SVDPipelineConfig(**base)
+
+
+def _time(run, reps, label):
+    t0 = time.time()
+    out = run()
+    # host-fetch a scalar: block_until_ready over the axon relay can return early
+    _ = float(jnp.asarray(out).ravel()[0])
+    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _i in range(reps):
+        t0 = time.time()
+        out = run()
+        _ = float(jnp.asarray(out).ravel()[0])
+        times.append(time.time() - t0)
+    value = float(min(times))
+    print(f"# times: {[round(t, 3) for t in times]}", file=sys.stderr)
+    return value
+
+
+def _rng_image(shape):
+    return jnp.asarray(np.random.default_rng(0).uniform(size=shape), jnp.float32)
+
+
+def bench_base(small, reps):
     from lkgd_tpu.models.clip_vision import CLIPVisionConfig
     from lkgd_tpu.models.configs import SVDUNetConfig
     from lkgd_tpu.models.vae_temporal import TemporalVAEConfig
@@ -49,45 +117,130 @@ def main():
         label = "sec/clip (smoke config)"
     else:
         pipe = StableVideoDiffusionPipeline(
-            config=SVDPipelineConfig(height=576, width=1024, num_frames=14,
-                                     num_inference_steps=25, decode_chunk_size=14),
-            unet_config=SVDUNetConfig(num_frames=14),
-            dtype=jnp.bfloat16,
-        )
+            config=_pipeline_config(), unet_config=_full_unet(), dtype=jnp.bfloat16)
         label = "sec/clip (14f x 576x1024, 25 steps)"
 
     t0 = time.time()
-    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
     # deployment weight format: bf16 (fp32 params would hold ~7 GB of HBM and force
     # small decode chunks)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
     jax.block_until_ready(params)
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
-    img = jnp.asarray(
-        np.random.default_rng(0).uniform(size=(1, pipe.config.height, pipe.config.width, 3)),
-        jnp.float32)
+    img = _rng_image((1, pipe.config.height, pipe.config.width, 3))
+    rng = jax.random.PRNGKey(1)
+    return label, _time(lambda: pipe.generate(params, img, rng), reps, label)
+
+
+def bench_trans(reps):
+    from lkgd_tpu.pipelines.svd_trans import StableVideoDiffusionTransPipeline
+
+    pipe = StableVideoDiffusionTransPipeline(
+        config=_pipeline_config(), unet_config=_joint_unet(), dtype=jnp.bfloat16)
+    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    img = _rng_image((2, 576, 1024, 3))  # [start, end]
+    rng = jax.random.PRNGKey(1)
+    return ("sec/clip trans joint-attn (2 streams x 14f x 576x1024, 25 steps)",
+            _time(lambda: pipe.generate(params, img, rng), reps, "trans"))
+
+
+def bench_controlnet(reps):
+    from lkgd_tpu.models.controlnet_svd import ControlNetSDVConfig
+    from lkgd_tpu.pipelines.svd_controlnet import StableVideoDiffusionControlNetPipeline
+
+    unet = _full_unet()
+    pipe = StableVideoDiffusionControlNetPipeline(
+        config=_pipeline_config(), unet_config=unet,
+        controlnet_config=ControlNetSDVConfig(unet=unet), dtype=jnp.bfloat16)
+    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    img = _rng_image((1, 576, 1024, 3))
+    ctrl = _rng_image((14, 576, 1024, 3))
     rng = jax.random.PRNGKey(1)
 
-    t0 = time.time()
-    out = pipe.generate(params, img, rng)
-    jax.block_until_ready(out)
-    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+    def run():  # control is a kwarg of the denoise program (base generate() lacks it)
+        latents = pipe._generate(params, img, rng, control=ctrl)
+        return pipe._decode(params["vae"], latents)
 
-    times = []
-    for i in range(reps):
-        t0 = time.time()
-        out = pipe.generate(params, img, rng)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    value = float(min(times))
-    print(f"# times: {[round(t, 3) for t in times]}", file=sys.stderr)
+    return ("sec/clip controlnet-sdv (14f x 576x1024, 25 steps)",
+            _time(run, reps, "controlnet"))
+
+
+def bench_smooth(reps):
+    from lkgd_tpu.pipelines.svd_smooth import StableVideoDiffusionSmoothPipeline
+
+    total = int(os.environ.get("LKGD_BENCH_SMOOTH_FRAMES", "28"))
+    pipe = StableVideoDiffusionSmoothPipeline(
+        config=_pipeline_config(), unet_config=_joint_unet(), dtype=jnp.bfloat16,
+        start_step=10, total_frames=total)
+    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
+    jax.block_until_ready(params)
+    video = _rng_image((total, 576, 1024, 3))
+    rng = jax.random.PRNGKey(1)
+    return (f"sec/refine smooth ({total}f x 576x1024, steps 10..25, joint chunks)",
+            _time(lambda: pipe.generate(params, video, rng), reps, "smooth"))
+
+
+def bench_cogvideox(reps):
+    """One full-size CogVideoX-5B DiT step (what the 50-step I2V loop repeats)."""
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+
+    cfg = CogVideoXConfig.cogvideox_5b_i2v()
+    model = CogVideoXTransformer3D(cfg, dtype=jnp.bfloat16)
+
+    b, t, h, w = 2, 13, 60, 90  # CFG-doubled batch; 49f x 480x720 latents
+    sample = jax.random.normal(jax.random.PRNGKey(1), (b, t, h, w, cfg.in_channels),
+                               jnp.bfloat16)
+    text = jax.random.normal(jax.random.PRNGKey(2), (b, cfg.max_text_seq_length, 4096),
+                             jnp.bfloat16) * 0.02
+    timestep = jnp.full((b,), 500, jnp.int32)
+
+    # 5B fp32 init would not fit 16 GB HBM: materialize bf16 params leaf-by-leaf from
+    # the eval_shape tree (values only need to be non-degenerate for a perf measurement)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), sample, text, timestep)
+    leaves, treedef = jax.tree.flatten(shapes)
+    key = jax.random.PRNGKey(0)
+    params = []
+    for i, leaf in enumerate(leaves):
+        params.append(jax.random.normal(jax.random.fold_in(key, i), leaf.shape,
+                                        jnp.bfloat16) * 0.02)
+    params = jax.tree.unflatten(treedef, params)
+    jax.block_until_ready(params)
+    n = sum(int(np.prod(l.shape)) for l in leaves)
+    print(f"# cogvideox params: {n/1e9:.2f}B bf16", file=sys.stderr)
+
+    fwd = jax.jit(model.apply)
+    return ("sec/step cogvideox-5b DiT (CFG-doubled, 13x30x45+226 tokens)",
+            _time(lambda: fwd(params, sample, text, timestep), reps, "cogvideox"))
+
+
+def main():
+    from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    small = bool(os.environ.get("LKGD_BENCH_SMALL"))
+    reps = int(os.environ.get("LKGD_BENCH_REPS", "3"))
+    which = os.environ.get("LKGD_BENCH_PIPELINE", "base")
+
+    if which == "base":
+        label, value = bench_base(small, reps)
+    elif which == "trans":
+        label, value = bench_trans(reps)
+    elif which == "controlnet":
+        label, value = bench_controlnet(reps)
+    elif which == "smooth":
+        label, value = bench_smooth(reps)
+    elif which == "cogvideox":
+        label, value = bench_cogvideox(reps)
+    else:
+        raise SystemExit(f"unknown LKGD_BENCH_PIPELINE={which!r}")
 
     print(json.dumps({
         "metric": label,
         "value": round(value, 3),
         "unit": "s",
-        "vs_baseline": round(10.0 / value, 3),
+        "vs_baseline": round(NORTH_STAR / value, 3),
     }))
 
 

@@ -268,3 +268,83 @@ class StableDiffusionJointControlPipeline:
             params, prompt_embeds, negative_prompt_embeds,
             jnp.asarray(condition_image, jnp.float32), rng,
             None if spatial_mask is None else jnp.asarray(spatial_mask, jnp.float32)))
+
+
+class StableDiffusionConditionPipeline:
+    """Plain text2img generation with an image-space extra conditioning input — the
+    distinct "condition" pipeline of the reference family
+    (``pipeline_stable_diffusion_condition.py``, used with
+    ``models/unet_2d_condition_cond.py:70-118``'s ``UNet2DConditionAddCondModel``): the
+    condition image runs through the UNet's small conv ``ConditioningEmbedding`` encoder
+    and is added at ``conv_in`` resolution; everything else is the standard 4-channel SD
+    CFG loop. Pass ``unet_config.cond_embedding_channels`` to enable the cond encoder."""
+
+    def __init__(self, config: SD2DPipelineConfig = SD2DPipelineConfig(),
+                 unet_config: UNet2DConfig = UNet2DConfig(
+                     in_channels=4, cond_embedding_channels=3),
+                 vae_config: VAE2DConfig = VAE2DConfig(),
+                 dtype: jnp.dtype = jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        self.unet = UNet2DCondition(unet_config, dtype=dtype)
+        self.vae = AutoencoderKL(vae_config, dtype=dtype)
+        self.scheduler = CogVideoXDDIMScheduler(sd_ddim_config())
+        self.schedule = self.scheduler.set_timesteps(config.num_inference_steps)
+        self.vae_scale = 2 ** (len(vae_config.block_out_channels) - 1)
+        self.vae_scaling = vae_config.scaling_factor
+        self._generate = jax.jit(self._generate_impl)
+
+    def init_params(self, rng: jax.Array, ctx_len: int = 8) -> dict:
+        cfg = self.config
+        h, w = cfg.height // self.vae_scale, cfg.width // self.vae_scale
+        r1, r2 = jax.random.split(rng)
+        sample = jnp.zeros((2, h, w, self.unet.config.in_channels), self.dtype)
+        ehs = jnp.zeros((2, ctx_len, self.unet.config.cross_attention_dim), self.dtype)
+        kw = {}
+        if self.unet.config.cond_embedding_channels is not None:
+            kw["cond_image"] = jnp.zeros(
+                (2, cfg.height, cfg.width, self.unet.config.cond_embedding_channels),
+                self.dtype)
+        return {"unet": self.unet.init(r1, sample, jnp.zeros((2,)), ehs, **kw),
+                "vae": self.vae.init(r2, jnp.zeros((1, cfg.height, cfg.width, 3), self.dtype))}
+
+    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, cond_image, rng):
+        cfg = self.config
+        b = prompt_embeds.shape[0]
+        h, w = cfg.height // self.vae_scale, cfg.width // self.vae_scale
+
+        ehs = jnp.concatenate([negative_prompt_embeds, prompt_embeds], 0).astype(self.dtype)
+        kwargs = {}
+        if cond_image is not None:
+            # conditioning applies to the cond rows only; uncond rows see zeros (CFG
+            # dropout convention of the reference's conditioning embedder)
+            cond = cond_image.astype(self.dtype)
+            kwargs["cond_image"] = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
+
+        latents = jax.random.normal(rng, (b, h, w, 4), jnp.float32)
+        schedule, scheduler = self.schedule, self.scheduler
+
+        def step(latents, i):
+            t_rows = jnp.full((2 * b,), schedule.timesteps[i], jnp.float32)
+            model_in = jnp.concatenate([latents] * 2, axis=0).astype(self.dtype)
+            eps = self.unet.apply(params["unet"], model_in, t_rows, ehs, **kwargs)
+            uncond, cond_eps = jnp.split(eps.astype(jnp.float32), 2, axis=0)
+            eps = uncond + cfg.guidance_scale * (cond_eps - uncond)
+            latents, _ = scheduler.step(schedule, eps, i, latents)
+            return latents, ()
+
+        latents, _ = jax.lax.scan(step, latents, jnp.arange(schedule.num_steps))
+        img = self.vae.apply(params["vae"], (latents / self.vae_scaling).astype(self.dtype),
+                             method=AutoencoderKL.decode)
+        return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    def __call__(self, params, prompt_embeds, cond_image=None, negative_prompt_embeds=None,
+                 rng: Optional[jax.Array] = None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        prompt_embeds = jnp.asarray(prompt_embeds)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return np.asarray(self._generate(
+            params, prompt_embeds, negative_prompt_embeds,
+            None if cond_image is None else jnp.asarray(cond_image, jnp.float32), rng))

@@ -12,7 +12,8 @@ from lkgd_tpu.models.controlnet_2d import ControlNet2D, ControlNet2DConfig
 from lkgd_tpu.models.unet_2d import UNet2DConfig, UNet2DCondition
 from lkgd_tpu.models.vae_2d import VAE2DConfig, AutoencoderKL
 from lkgd_tpu.pipelines.sd2d import (
-    SD2DPipelineConfig, StableDiffusionInpaintPipeline, StableDiffusionJointControlPipeline)
+    SD2DPipelineConfig, StableDiffusionConditionPipeline, StableDiffusionInpaintPipeline,
+    StableDiffusionJointControlPipeline)
 
 TINY_UNET = UNet2DConfig(
     in_channels=4, block_out_channels=(32, 64),
@@ -121,6 +122,23 @@ class TestPipelines:
         z_opt = pipe.optimize_latents(z, lambda x: jnp.mean(x**2), guidance_lr=0.1,
                                       num_optimizer_steps=3)
         assert float(jnp.mean(z_opt**2)) < float(jnp.mean(z**2))
+
+    def test_condition_pipeline(self):
+        pipe = StableDiffusionConditionPipeline(
+            config=SD2DPipelineConfig(height=32, width=32, num_inference_steps=2),
+            unet_config=dataclasses.replace(TINY_UNET, in_channels=4,
+                                            cond_embedding_channels=3,
+                                            # 2 stride-2 convs to match TINY_VAE's 4x scale
+                                            cond_embedding_blocks=(16, 32, 96)),
+            vae_config=TINY_VAE)
+        params = pipe.init_params(jax.random.PRNGKey(0), ctx_len=4)
+        cond = np.random.default_rng(0).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+        out = pipe(params, jnp.ones((1, 4, 32)), cond_image=cond)
+        assert out.shape == (1, 32, 32, 3)
+        assert np.isfinite(out).all()
+        # no-cond path also works (plain text2img)
+        out_nc = pipe(params, jnp.ones((1, 4, 32)))
+        assert out_nc.shape == (1, 32, 32, 3)
 
     def test_joint_control_clamps_condition_stream(self):
         joint_unet = dataclasses.replace(
