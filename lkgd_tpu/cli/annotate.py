@@ -4,10 +4,14 @@ The reference labels training frames with external models (OneFormer segmentatio
 Depth-Anything depth; `annotate/configs/annotate_spatial.yaml`). Those checkpoints are
 external; this CLI runs any processor registered in utils.control_preprocess (classical
 ones ship built-in: canny/softedge/tile; flow maps come from our UniMatch via
---annotation flow) over a folder of videos/images and writes label maps alongside.
+--annotation flow; model-based ones — depth (Depth-Anything), openpose (CMU body),
+lineart_anime (Anime2Sketch) — take --weights pointing at the ported external
+checkpoint) over a folder of videos/images and writes label maps alongside.
 
   python -m lkgd_tpu.cli.annotate --input data/videos --annotation canny --output labels/
   python -m lkgd_tpu.cli.annotate --input data/videos --annotation flow --output labels/
+  python -m lkgd_tpu.cli.annotate --input imgs --annotation openpose \\
+      --weights body_pose_model.npz --output labels/
 """
 
 from __future__ import annotations
@@ -67,6 +71,31 @@ def main():
         cfg = getattr(DepthAnythingConfig, args.model_size)()
         params = port_depth_anything(load_state_dict(args.weights), cfg)
         cp.register_processor("depth", make_depth_processor(params, cfg))
+
+    if args.annotation == "lineart_anime":
+        from lkgd_tpu.models.depth_anything import load_state_dict
+        from lkgd_tpu.models.lineart_anime import (
+            LineartAnimeConfig, make_lineart_anime_processor, port_lineart_anime)
+
+        if not args.weights:
+            raise SystemExit("--annotation lineart_anime needs --weights (Anime2Sketch "
+                             "netG state dict; external, egress-gated)")
+        cfg = LineartAnimeConfig()
+        params = port_lineart_anime(load_state_dict(args.weights), cfg)
+        cp.register_processor("lineart_anime",
+                              make_lineart_anime_processor(params, cfg))
+
+    if args.annotation == "openpose":
+        from lkgd_tpu.models.depth_anything import load_state_dict
+        from lkgd_tpu.models.openpose import (
+            OpenPoseConfig, make_openpose_processor, port_openpose_body)
+
+        if not args.weights:
+            raise SystemExit("--annotation openpose needs --weights (controlnet_aux "
+                             "body_pose_model state dict; external, egress-gated)")
+        cfg = OpenPoseConfig()
+        params = port_openpose_body(load_state_dict(args.weights), cfg)
+        cp.register_processor("openpose", make_openpose_processor(params, cfg))
 
     files = sorted(sum([glob.glob(os.path.join(args.input, e))
                         for e in ("*.mp4", "*.gif", "*.png", "*.jpg")], []))
