@@ -68,7 +68,10 @@ def _pipeline_config(**kw):
     from lkgd_tpu.pipelines.svd import SVDPipelineConfig
 
     base = dict(height=576, width=1024, num_frames=14, num_inference_steps=25,
-                decode_chunk_size=14)
+                decode_chunk_size=14,
+                # CFG halves run sequentially (halved peak activation HBM) — the
+                # deployment setting for the 4-row trans batch on one 16 GB chip
+                sequential_cfg=bool(os.environ.get("LKGD_BENCH_SEQ_CFG")))
     base.update(kw)
     return SVDPipelineConfig(**base)
 

@@ -140,3 +140,28 @@ class SVDUNetConfig:
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+
+def halve_stream_masks(cfg: SVDUNetConfig) -> SVDUNetConfig:
+    """The same UNet for a half (single-CFG-side) batch.
+
+    Stream tuples (joint mask, LoRA row masks, y-head mask) describe the CFG-doubled
+    stream-major batch ``[*uncond_streams, *cond_streams]``; a sequential-CFG call sees
+    only one side, so tuples of even length >= 4 halve to their first half. The param
+    tree is unchanged (masks are static routing, not parameters), so params initialized
+    under either config are interchangeable."""
+
+    def half(t):
+        return t[: len(t) // 2] if t and len(t) >= 4 and len(t) % 2 == 0 else t
+
+    joint = cfg.joint
+    if joint is not None:
+        joint = dataclasses.replace(joint, mask=half(joint.mask))
+    lora = cfg.lora
+    if lora.rules:
+        lora = dataclasses.replace(lora, rules=tuple(
+            dataclasses.replace(r, streams=half(r.streams)) for r in lora.rules))
+    y_mask = cfg.y_input_head_mask
+    if y_mask is not None:
+        y_mask = half(y_mask)
+    return dataclasses.replace(cfg, joint=joint, lora=lora, y_input_head_mask=y_mask)

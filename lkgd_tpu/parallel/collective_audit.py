@@ -1,0 +1,111 @@
+"""Collective audit of SPMD programs: what rides the ICI, and how many bytes.
+
+The multi-chip deployment path (BASELINE.md's v5e-8 projection) rests on XLA's SPMD
+partitioner inserting the right collectives for the ``(data, context)`` mesh: gradient
+all-reduce (lowered to reduce-scatter + all-gather under ZeRO out-shardings), frame-axis
+halo/all-gather exchanges for temporal attention under context parallelism, and
+all-to-alls for Ulysses attention. This module compiles a function under a mesh and
+reports every collective in the optimized HLO with its operand bytes — the audit that
+turns "it matches the unsharded output on a CPU mesh" into "and this is exactly what
+will ride the interconnect" (reference analog: the DeepSpeed/NCCL wiring the reference
+delegates to, `CogVideo-main/finetune/configs/zero2.yaml`, accelerate DDP).
+
+Used by tests/test_collective_audit.py and `python -m lkgd_tpu.parallel.collective_audit`.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+from typing import Dict, List, Tuple
+
+# optimized-HLO collective ops (channel ops that move data between devices)
+COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+                  "collective-permute")
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
+          "pred": 1, "s64": 8, "f64": 8}
+
+
+def _result_bytes(line: str) -> int:
+    """Bytes of the result shape(s) on the lhs of an HLO instruction line."""
+    lhs = line.split(" = ", 1)
+    if len(lhs) != 2:
+        return 0
+    total = 0
+    # result may be a tuple: take every typed shape before the op name
+    rhs = lhs[1]
+    op_pos = rhs.find("(")
+    for m in _SHAPE_RE.finditer(rhs[:op_pos if op_pos > 0 else len(rhs)]):
+        dtype, dims = m.group(1), m.group(2)
+        if dtype not in _BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _BYTES[dtype]
+    return total
+
+
+def audit_hlo(hlo_text: str) -> Dict[str, List[Tuple[int, str]]]:
+    """Optimized HLO -> {collective op: [(result_bytes, instruction line), ...]}."""
+    found: Dict[str, List[Tuple[int, str]]] = collections.defaultdict(list)
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        body = s.split(" = ", 1)[-1]
+        for op in COLLECTIVE_OPS:
+            # match the op at the start of the rhs (e.g. "all-reduce(", including
+            # "all-gather-start("), not shape names or metadata
+            if re.match(rf"(\(.*\)|\S+)\s*{op}(-start)?\(", body) or body.startswith(op):
+                found[op].append((_result_bytes(s), s[:160]))
+                break
+    return dict(found)
+
+
+def audit_compiled(compiled) -> Dict[str, List[Tuple[int, str]]]:
+    return audit_hlo(compiled.as_text())
+
+
+def summarize(found: Dict[str, List[Tuple[int, str]]]) -> str:
+    lines = []
+    for op in COLLECTIVE_OPS:
+        entries = found.get(op, [])
+        if not entries:
+            continue
+        total = sum(b for b, _ in entries)
+        lines.append(f"{op:20s} x{len(entries):3d}  {total / 2**20:8.1f} MiB")
+    return "\n".join(lines) if lines else "(no collectives)"
+
+
+def _main():
+    """Audit the flagship inference pipeline on a virtual 8-device CPU mesh."""
+    import os
+
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.configs import SVDUNetConfig
+    from lkgd_tpu.parallel import mesh as meshlib
+    from lkgd_tpu.pipelines.svd import StableVideoDiffusionPipeline, SVDPipelineConfig
+
+    mesh = meshlib.make_mesh({"data": 2, "context": 4})
+    pipe = StableVideoDiffusionPipeline(
+        config=SVDPipelineConfig(height=192, width=320, num_frames=8,
+                                 num_inference_steps=2, decode_chunk_size=4),
+        unet_config=SVDUNetConfig(num_frames=8), dtype=jnp.bfloat16, mesh=mesh)
+    with jax.set_mesh(mesh):
+        params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+        img = jnp.zeros((1, 192, 320, 3), jnp.float32)
+        compiled = jax.jit(pipe._generate_impl).lower(
+            params, img, jax.random.PRNGKey(1)).compile()
+    print("== inference denoise (data=2, context=4), 8f 192x320, full-size UNet")
+    print(summarize(audit_compiled(compiled)))
+
+
+if __name__ == "__main__":
+    _main()

@@ -45,6 +45,10 @@ class SVDPipelineConfig:
     noise_aug_strength: float = 0.02
     decode_chunk_size: int = 7
     do_classifier_free_guidance: bool = True
+    # run the two CFG halves sequentially (lax.map over one UNet body) instead of
+    # batch-doubled: same FLOPs, ~half the peak activation HBM — the deployment switch
+    # for memory-tight configs (trans joint batches at 576x1024 on one 16 GB chip)
+    sequential_cfg: bool = False
 
 
 
@@ -82,6 +86,12 @@ class StableVideoDiffusionPipeline:
         self.mesh = mesh
         self.dtype = dtype
         self.unet = UNetSpatioTemporalCondition(unet_config, dtype=dtype)
+        if config.sequential_cfg:
+            # same params, stream masks halved for single-CFG-side rows
+            from lkgd_tpu.models.configs import halve_stream_masks
+
+            self.unet_seq = UNetSpatioTemporalCondition(halve_stream_masks(unet_config),
+                                                        dtype=dtype)
         self.vae = AutoencoderKLTemporalDecoder(vae_config, dtype=dtype)
         self.image_encoder = CLIPVisionModelWithProjection(clip_config, dtype=dtype)
         self.scheduler = EulerDiscreteScheduler(scheduler_config)
@@ -182,14 +192,36 @@ class StableVideoDiffusionPipeline:
         latents = self._shard_video(latents)
         image_latents = self._shard_video(image_latents)
 
+        sequential = cfg.sequential_cfg and cfg.do_classifier_free_guidance
+        if sequential:
+            # (2B, ...) stream-major [uncond; cond] -> (2, B, ...) halves for lax.map
+            emb_pair = image_embeddings.reshape(2, batch_size, *image_embeddings.shape[1:])
+            ilat_pair = image_latents.reshape(2, batch_size, *image_latents.shape[1:])
+            ati_pair = added_time_ids.reshape(2, batch_size, *added_time_ids.shape[1:])
+
         def step_fn(latents, i):
+            t = schedule.timesteps[i]
+            if sequential:
+                scaled = scheduler.scale_model_input(schedule, latents, i).astype(self.dtype)
+
+                def half(args):
+                    emb, ilat, ati = args
+                    m = jnp.concatenate([scaled, ilat], axis=-1)
+                    return self.unet_seq.apply(params["unet"], m, t, emb, ati)
+
+                # one compiled UNet body executed twice back-to-back: peak live
+                # activations halve vs the batch-doubled call
+                eps = jax.lax.map(half, (emb_pair, ilat_pair, ati_pair))
+                eps = eps.astype(jnp.float32)
+                noise_pred = eps[0] + guidance * (eps[1] - eps[0])
+                latents, _ = scheduler.step(schedule, noise_pred, i, latents)
+                return latents, ()
             if cfg.do_classifier_free_guidance:
                 model_in = jnp.concatenate([latents] * 2, axis=0)
             else:
                 model_in = latents
             model_in = scheduler.scale_model_input(schedule, model_in, i)
             model_in = jnp.concatenate([model_in.astype(self.dtype), image_latents], axis=-1)
-            t = schedule.timesteps[i]
             noise_pred = self.unet.apply(
                 params["unet"], model_in, t, image_embeddings, added_time_ids)
             noise_pred = noise_pred.astype(jnp.float32)

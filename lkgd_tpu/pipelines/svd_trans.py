@@ -53,13 +53,33 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
         guidance = self._guidance_scale(n_streams)
         schedule, scheduler = self.schedule, self.scheduler
 
+        sequential = cfg.sequential_cfg and cfg.do_classifier_free_guidance
+        if sequential:
+            # stream-major CFG halves: [x_u, y_u | x_c, y_c] -> (2, n_streams, ...)
+            emb_pair = image_embeddings.reshape(2, n_streams, *image_embeddings.shape[1:])
+            ilat_pair = image_latents.reshape(2, n_streams, *image_latents.shape[1:])
+            ati_pair = added_time_ids.reshape(2, n_streams, *added_time_ids.shape[1:])
+
         def step_fn(latents, i):
+            t = schedule.timesteps[i]
+            if sequential:
+                scaled = scheduler.scale_model_input(schedule, latents, i).astype(self.dtype)
+
+                def half(args):
+                    emb, ilat, ati = args
+                    m = jnp.concatenate([scaled, ilat], axis=-1)
+                    return self.unet_seq.apply(params["unet"], m, t, emb, ati)
+
+                eps = jax.lax.map(half, (emb_pair, ilat_pair, ati_pair)).astype(jnp.float32)
+                noise_pred = eps[0] + guidance * (eps[1] - eps[0])
+                latents, _ = scheduler.step(schedule, noise_pred, i, latents)
+                return latents, ()
             model_in = (jnp.concatenate([latents] * 2, axis=0)
                         if cfg.do_classifier_free_guidance else latents)
             model_in = scheduler.scale_model_input(schedule, model_in, i)
             model_in = jnp.concatenate([model_in.astype(self.dtype), image_latents], axis=-1)
             noise_pred = self.unet.apply(
-                params["unet"], model_in, schedule.timesteps[i], image_embeddings,
+                params["unet"], model_in, t, image_embeddings,
                 added_time_ids).astype(jnp.float32)
             if cfg.do_classifier_free_guidance:
                 uncond, cond = jnp.split(noise_pred, 2, axis=0)

@@ -161,3 +161,36 @@ def test_scheduler_config_json(tmp_path):
     p.write_text(json.dumps(cfg))
     c = config_from_diffusers_json(str(p))
     assert c.sigma_max == 700.0 and c.prediction_type == "v_prediction"
+
+
+def test_trans_sequential_cfg_matches_batched():
+    """sequential_cfg (lax.map over CFG halves + halved stream masks) must reproduce the
+    batch-doubled program exactly (same params, same math, different schedule)."""
+    import dataclasses
+
+    pipe_b = StableVideoDiffusionTransPipeline(config=PCFG, unet_config=JOINT_UNET, **KW)
+    pipe_s = StableVideoDiffusionTransPipeline(
+        config=dataclasses.replace(PCFG, sequential_cfg=True), unet_config=JOINT_UNET, **KW)
+    params = pipe_b.init_params(jax.random.PRNGKey(0))
+    s = np.random.default_rng(7).uniform(size=(64, 64, 3)).astype(np.float32)
+    e = np.random.default_rng(8).uniform(size=(64, 64, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(3)
+    lat_b = pipe_b(params, s, e, rng=rng, output_type="latent")
+    lat_s = pipe_s(params, s, e, rng=rng, output_type="latent")
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
+
+
+def test_base_sequential_cfg_matches_batched():
+    import dataclasses
+
+    from lkgd_tpu.pipelines.svd import StableVideoDiffusionPipeline
+
+    pipe_b = StableVideoDiffusionPipeline(config=PCFG, unet_config=PLAIN_UNET, **KW)
+    pipe_s = StableVideoDiffusionPipeline(
+        config=dataclasses.replace(PCFG, sequential_cfg=True), unet_config=PLAIN_UNET, **KW)
+    params = pipe_b.init_params(jax.random.PRNGKey(0))
+    img = np.random.default_rng(9).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(4)
+    lat_b = pipe_b(params, img, rng=rng, output_type="latent")
+    lat_s = pipe_s(params, img, rng=rng, output_type="latent")
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
