@@ -85,6 +85,28 @@ def main():
         cp.register_processor("lineart_anime",
                               make_lineart_anime_processor(params, cfg))
 
+    if args.annotation == "segmentation":
+        import jax
+
+        from lkgd_tpu.models.depth_anything import load_state_dict
+        from lkgd_tpu.models.segformer import (
+            SegformerConfig, SegformerForSemanticSegmentation,
+            make_segmentation_processor, port_segformer)
+
+        if not args.weights:
+            raise SystemExit("--annotation segmentation needs --weights (HF SegFormer "
+                             "ADE20K state dict; external, egress-gated; the reference "
+                             "delegates to an external OneFormer repo the same way)")
+        import jax.numpy as jnp
+
+        cfg = (SegformerConfig.b0_ade() if args.model_size == "small"
+               else SegformerConfig.b4_ade())
+        model = SegformerForSemanticSegmentation(cfg)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+        params = port_segformer(load_state_dict(args.weights), shapes)
+        cp.register_processor("segmentation", make_segmentation_processor(params, cfg))
+
     if args.annotation == "openpose":
         from lkgd_tpu.models.depth_anything import load_state_dict
         from lkgd_tpu.models.openpose import (

@@ -39,6 +39,75 @@ def _mask_if_padded(s, block_start, block_k, kv_valid):
         s)
 
 
+def _flash_bound_kernel(q_ref, t_ref, k_ref, v_ref, o_ref, l_ref, l_scratch, acc_scratch,
+                        *, scale: float, n_k_blocks: int, block_k: int, block_q: int,
+                        kv_valid):
+    """Softmax with a precomputed per-row upper bound instead of a running max.
+
+    Softmax is invariant to the constant subtracted from the logits; it need not be the
+    max — any per-row upper bound b_i >= max_j s_ij keeps exp2 in (0, 1]. The wrapper
+    passes t_i = -scale*log2e * ||q_i|| * max_j ||k_j|| (Cauchy-Schwarz bound, O(S*D));
+    the broadcast add of t fuses into the MXU output epilogue for free (measured), so the
+    kernel runs NO max reduce, NO per-block rescaling, NO m bookkeeping: 77.6 vs 64.9
+    TF/s for the max-tracking kernel at S=9216/D=64/BH=140 on v5e. (The exp2 itself is
+    free — replacing it with a multiply does not change the runtime; BASELINE.md.)
+
+    Numerics: identical softmax up to WHICH constant is subtracted — fp32 exp2/sum have
+    the same relative precision at 2^-40 as at 2^0, so results match the max-tracking
+    kernel to fp32 rounding. The only failure mode is bound looseness > ~149 log2 units
+    (whole rows underflow); the wrapper detects it via the emitted row sums l (l_i >=
+    2^(max_i - b_i)) and falls back to the max-tracking kernel under jax.lax.cond, so
+    the fast path carries no accuracy risk at any input scale."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+    t = t_ref[0, 0, :][:, None]  # (BQ, 1) f32 — per-row -bound, already in log2 domain
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (
+                                scale * 1.4426950408889634) + t
+    if kv_valid is not None:
+        s = _mask_if_padded(s, j * block_k, block_k, kv_valid)
+
+    p = jnp.exp2(s)  # (BQ, BK), in (0, ~1] by construction
+    l_scratch[...] = l_scratch[...] + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), l_scratch.shape)
+    acc_scratch[...] = acc_scratch[...] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_k_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
+        # running per-batch min row-sum — the underflow-guard signal; one scalar per
+        # batch instead of the full (BH, S) row sums (whose write-back costs ~2.5 ms/call
+        # at S=9216/BH=140; the scalar is free). The (1,1,1) block persists across the
+        # i/j grid dims for a given b, so it accumulates the min over q blocks.
+        i = pl.program_id(1)
+        cur = jnp.broadcast_to(jnp.min(l_scratch[:, 0])[None], (128,))
+
+        @pl.when(i == 0)
+        def _first():
+            l_ref[0, 0, :] = cur
+
+        @pl.when(i > 0)
+        def _acc():
+            l_ref[0, 0, :] = jnp.minimum(l_ref[0, 0, :], cur)
+
+
+def _bound_t(q, k, scale):
+    """(BH,1,S_q) f32: minus the Cauchy-Schwarz logit upper bound, log2 domain."""
+    kn = jnp.sqrt(jnp.max(jnp.sum(jnp.square(k.astype(jnp.float32)), -1), axis=1))
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), -1))  # (BH, S)
+    return (-(qn * kn[:, None]) * (scale * 1.4426950408889634))[:, None, :]
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch, *,
                   scale: float, n_k_blocks: int, block_k: int, kv_valid):
     j = pl.program_id(2)
@@ -85,6 +154,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
 #   dV = P^T dO;  dP = dO V^T;  dS = P * (dP - delta),  delta_i = rowsum(dO * O)_i
 #   dQ = dS K * scale;  dK = dS^T Q * scale
 _LOG2E = 1.4426950408889634
+
+
+def _flash_bound_lse_kernel(q_ref, t_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                            block_k, block_q, kv_valid):
+    """Training-forward variant of _flash_bound_kernel: bound subtraction instead of a
+    running max, emitting the true log2-domain logsumexp (lse = log2(l) - t, since
+    t = -bound). Guarded by the wrapper via min(lse + t) — no extra outputs needed."""
+    i = pl.program_id(1)
+    s_k = k_ref.shape[1]
+    n_k = s_k // block_k
+    q = q_ref[0]
+    t = t_ref[0, 0, :][:, None]  # (BQ, 1) f32, log2 domain, = -bound
+
+    def k_loop(ki, carry):
+        l_prev, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * (scale * _LOG2E) + t
+        if kv_valid is not None:
+            s = _mask_if_padded(s, ki * block_k, block_k, kv_valid)
+        p = jnp.exp2(s)
+        l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return l_next, acc
+
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc0 = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+    l, acc = jax.lax.fori_loop(0, n_k, k_loop, (l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0, pl.ds(i * block_q, block_q)] = (jnp.log2(l) - t)[:, 0]
 
 
 def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k,
@@ -187,6 +289,43 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_valid"))
 def _flash_fwd_lse_bhsd(q, k, v, block_q, block_k, kv_valid=None):
+    import os
+
+    bh, s_q, d = q.shape
+    if not os.environ.get("LKGD_FLASH_MAXTRACK"):
+        s_k = k.shape[1]
+        scale = d**-0.5
+        t = _bound_t(q, k, scale)
+        kernel = functools.partial(_flash_bound_lse_kernel, scale=scale, block_k=block_k,
+                                   block_q=block_q, kv_valid=kv_valid)
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=(bh, s_q // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)),
+                pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, s_k, d), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=(pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                       pl.BlockSpec((1, 1, s_q), lambda b, i: (b, 0, 0))),
+            out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+                       jax.ShapeDtypeStruct((bh, 1, s_q), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(q, t, k, v)
+        # lse + t = log2(row sum); underflowing rows mean the bound was pathologically
+        # loose -> redo with the online-max kernel (never taken at sane activations)
+        return jax.lax.cond(
+            jnp.min(lse + t) > -110.0,
+            lambda q, k, v, o, l: (o, l),
+            lambda q, k, v, o, l: _flash_fwd_lse_maxtrack_bhsd(
+                q, k, v, block_q, block_k, kv_valid),
+            q, k, v, out, lse)
+    return _flash_fwd_lse_maxtrack_bhsd(q, k, v, block_q, block_k, kv_valid)
+
+
+def _flash_fwd_lse_maxtrack_bhsd(q, k, v, block_q, block_k, kv_valid):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     kernel = functools.partial(_flash_fwd_lse_kernel, scale=d**-0.5, block_k=block_k,
@@ -298,15 +437,62 @@ def _plan_blocks(s_q: int, s_k: int, d: int):
 def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, block_k: int,
                 kv_valid=None) -> jnp.ndarray:
     """(BH, S_q, D) x (BH, S_k, D) -> (BH, S_q, D). ``kv_valid``: number of real keys
-    when the sequence was padded up to the block multiple (None = no padding)."""
+    when the sequence was padded up to the block multiple (None = no padding).
+
+    Default path: bound-subtraction kernel (no running max; see _flash_bound_kernel).
+    ``LKGD_FLASH_MAXTRACK=1`` restores the online-max kernel."""
+    import os
+
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     scale = d**-0.5
     n_q, n_k = s_q // block_q, s_k // block_k
+    grid = (bh, n_q, n_k)
 
+    if not os.environ.get("LKGD_FLASH_MAXTRACK"):
+        t = _bound_t(q, k, scale)
+        kernel = functools.partial(_flash_bound_kernel, scale=scale, n_k_blocks=n_k,
+                                   block_k=block_k, block_q=block_q, kv_valid=kv_valid)
+        out, l = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=(pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                       pl.BlockSpec((1, 1, 128), lambda b, i, j: (b, 0, 0))),
+            out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+                       jax.ShapeDtypeStruct((bh, 1, 128), jnp.float32)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(q, t, k, v)
+        # row sums satisfy l_i >= 2^(s_max_i - b_i); if any row's bound was loose by
+        # > ~110 log2 units (pathological q/k scales), redo with the max-tracking kernel
+        # — cond picks one branch at runtime, so the common case pays only the min-reduce
+        return jax.lax.cond(
+            jnp.min(l) > 2.0 ** -110,
+            lambda q, k, v, o: o,
+            lambda q, k, v, o: _flash_maxtrack_bhsd(q, k, v, block_q, block_k, kv_valid),
+            q, k, v, out)
+
+    return _flash_maxtrack_bhsd(q, k, v, block_q, block_k, kv_valid)
+
+
+def _flash_maxtrack_bhsd(q, k, v, block_q, block_k, kv_valid):
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    scale = d**-0.5
+    n_q, n_k = s_q // block_q, s_k // block_k
+    grid = (bh, n_q, n_k)
     kernel = functools.partial(_flash_kernel, scale=scale, n_k_blocks=n_k,
                                block_k=block_k, kv_valid=kv_valid)
-    grid = (bh, n_q, n_k)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -101,11 +101,26 @@ def cogvideox_5b_manifest() -> Dict[str, Tuple[int, ...]]:
     return manifest_from_template(shapes, cogvideox_export_key_map)
 
 
+def raft_large_manifest() -> Dict[str, Tuple[int, ...]]:
+    """torchvision ``raft_large`` (Raft_Large_Weights, ~5.3M params) — the reference's
+    fallback flow estimator (`utils/flow_utils.py:18-64`)."""
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.raft import RAFT, RAFTConfig
+    from lkgd_tpu.utils.porting import raft_export_key_map
+
+    model = RAFT(RAFTConfig.large())
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), img, img))
+    return manifest_from_template(shapes, raft_export_key_map)
+
+
 GENERATORS = {
     "svd_xt_unet": svd_xt_unet_manifest,
     "svd_vae": svd_vae_manifest,
     "clip_vit_h": clip_vit_h_manifest,
     "cogvideox_5b_transformer": cogvideox_5b_manifest,
+    "raft_large": raft_large_manifest,
 }
 
 

@@ -178,9 +178,9 @@ def export_state_dict(params, key_map: Optional[Callable[[str], str]] = None,
         if leafname == "kernel":
             if x.ndim == 2:
                 x = x.T
-            elif x.ndim == 4 and x.shape[1] == 1 and x.shape[0] != x.shape[1]:
-                # ambiguous (3,1,I,O) temporal conv vs true 1-width spatial conv; treat
-                # (k,1,I,O) with k in (1,3) as temporal -> (O,I,k,1,1)
+            elif x.ndim == 4 and x.shape[:2] == (3, 1):
+                # (3,1,I,O) temporal conv -> torch Conv3d (O,I,3,1,1); genuine 1-wide
+                # spatial kernels like SepConvGRU's (5,1) stay 4D Conv2d layout
                 x = x.transpose(3, 2, 0, 1)[..., None]
             elif x.ndim == 4:
                 x = x.transpose(3, 2, 0, 1)
@@ -430,3 +430,82 @@ def rife_key_map(key: str) -> Optional[str]:
 def port_rife(state_dict, template, strict: bool = True):
     """Port a RIFE v3-HD ``flownet.pkl`` state dict into an ``IFNet`` template."""
     return port_state_dict(state_dict, template, key_map=rife_key_map, strict=strict)
+
+
+# ---------------------------------------------------------------- RAFT (torchvision)
+def raft_key_map(key: str) -> Optional[str]:
+    """torchvision ``raft_large`` state dict -> our ``models/raft.py`` paths.
+
+    Naming derived from torchvision's models/optical_flow/raft.py (Conv2dNormActivation
+    Sequential indices: .0 conv / .1 norm; recurrent_block.convgru{1,2}; separate
+    top-level mask_predictor). BatchNorm buffers become frozen ``norm*_{mean,var}``
+    params; feature-encoder InstanceNorm has no parameters. Reference usage:
+    `utils/flow_utils.py:18-64`."""
+    if "num_batches_tracked" in key:
+        return None
+    k = key
+    k = re.sub(r"\blayer(\d)\.(\d)\b", r"layer\1_\2", k)
+    # residual-block Conv2dNormActivation pairs
+    for i in ("1", "2"):
+        k = k.replace(f"convnormrelu{i}.0", f"conv{i}")
+        k = re.sub(rf"convnormrelu{i}\.1\.(weight|bias|running_mean|running_var)",
+                   lambda m, i=i: f"norm{i}_" + {"weight": "scale", "bias": "bias",
+                                                 "running_mean": "mean",
+                                                 "running_var": "var"}[m.group(1)], k)
+    # encoder stem
+    k = k.replace("convnormrelu.0", "conv1")
+    k = re.sub(r"convnormrelu\.1\.(weight|bias|running_mean|running_var)",
+               lambda m: "norm1_" + {"weight": "scale", "bias": "bias",
+                                     "running_mean": "mean",
+                                     "running_var": "var"}[m.group(1)], k)
+    k = k.replace("downsample.0", "downsample")
+    k = re.sub(r"downsample\.1\.(weight|bias|running_mean|running_var)",
+               lambda m: "norm3_" + {"weight": "scale", "bias": "bias",
+                                     "running_mean": "mean",
+                                     "running_var": "var"}[m.group(1)], k)
+    k = re.sub(r"\b(feature_encoder|context_encoder)\.conv\.", r"\1.conv2.", k)
+    k = k.replace("update_block.motion_encoder.conv.0.", "update_block.conv.")
+    k = re.sub(r"update_block\.motion_encoder\.(conv(?:corr|flow)\d)\.0\.",
+               r"update_block.\1.", k)
+    k = re.sub(r"update_block\.recurrent_block\.convgru(\d)\.conv([zrq])\.",
+               r"update_block.conv\g<2>\g<1>.", k)
+    k = re.sub(r"update_block\.flow_head\.conv(\d)\.", r"update_block.flow_head_conv\1.", k)
+    k = k.replace("mask_predictor.convrelu.0.", "mask_conv1.")
+    k = k.replace("mask_predictor.conv.", "mask_conv2.")
+    return k
+
+
+def raft_export_key_map(key: str) -> str:
+    """Inverse of raft_key_map (our export naming -> torchvision raft_large naming)."""
+    k = key
+    k = re.sub(r"\blayer(\d)_(\d)\b", r"layer\1.\2", k)
+    k = k.replace("mask_conv1.", "mask_predictor.convrelu.0.")
+    k = k.replace("mask_conv2.", "mask_predictor.conv.")
+    k = re.sub(r"update_block\.flow_head_conv(\d)\.", r"update_block.flow_head.conv\1.", k)
+    k = re.sub(r"update_block\.conv([zrq])(\d)\.",
+               r"update_block.recurrent_block.convgru\2.conv\1.", k)
+    k = re.sub(r"update_block\.(conv(?:corr|flow)\d)\.",
+               r"update_block.motion_encoder.\1.0.", k)
+    k = k.replace("update_block.conv.", "update_block.motion_encoder.conv.0.")
+    k = re.sub(r"\b(feature_encoder|context_encoder)\.conv2\.", r"\1.conv.", k)
+    norm_leaf = {"scale": "weight", "weight": "weight", "bias": "bias", "mean":
+                 "running_mean", "var": "running_var"}
+    # norms: numbered convnormrelu{1,2} inside residual blocks, bare convnormrelu at the
+    # encoder stem, downsample.1 for the shortcut norm
+    k = re.sub(r"(layer\d\.\d\.)norm([12])_(scale|weight|bias|mean|var)$",
+               lambda m: m.group(1) + f"convnormrelu{m.group(2)}.1." + norm_leaf[m.group(3)], k)
+    k = re.sub(r"(encoder\.)norm1_(scale|weight|bias|mean|var)$",
+               lambda m: m.group(1) + "convnormrelu.1." + norm_leaf[m.group(2)], k)
+    k = re.sub(r"norm3_(scale|weight|bias|mean|var)$",
+               lambda m: "downsample.1." + norm_leaf[m.group(1)], k)
+    # residual-block convs vs the encoder stem conv1 (no layer segment)
+    k = re.sub(r"(layer\d\.\d\.)conv([12])\.", r"\1convnormrelu\2.0.", k)
+    k = re.sub(r"\b(feature_encoder|context_encoder)\.conv1\.", r"\1.convnormrelu.0.", k)
+    k = re.sub(r"(layer\d\.\d\.)downsample\.weight$", r"\1downsample.0.weight", k)
+    return k
+
+
+def port_raft(state_dict, template, strict: bool = True, materialize: bool = True):
+    """Port a torchvision raft_large state dict into a ``models/raft.py`` RAFT template."""
+    return port_state_dict(state_dict, template, key_map=raft_key_map, strict=strict,
+                           materialize=materialize)

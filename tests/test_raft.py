@@ -1,0 +1,109 @@
+"""RAFT flow estimator: component oracles + full-model smoke + porter coverage.
+
+Reference analog: torchvision ``raft_large`` wrapped by
+`/root/reference/utils/flow_utils.py:18-64` (bidirectional pseudo-label flow).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lkgd_tpu.models.raft import (RAFT, RAFTConfig, _batch_norm, correlation_pyramid,
+                                  lookup_correlation, raft_bidirectional_flow)
+
+
+def test_correlation_pyramid_matches_numpy():
+    rng = np.random.default_rng(0)
+    b, h, w, c = 2, 4, 6, 8
+    f1 = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    f2 = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    pyr = correlation_pyramid(jnp.asarray(f1), jnp.asarray(f2), levels=2)
+    ref = np.einsum("bxc,byc->bxy", f1.reshape(b, h * w, c),
+                    f2.reshape(b, h * w, c)) / np.sqrt(c)
+    np.testing.assert_allclose(np.asarray(pyr[0])[..., 0],
+                               ref.reshape(b * h * w, h, w), rtol=1e-5, atol=1e-5)
+    # level 1 = 2x2 average pool over the second image's grid
+    l1 = ref.reshape(b * h * w, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    np.testing.assert_allclose(np.asarray(pyr[1])[..., 0], l1, rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_correlation_center_identity():
+    """With zero flow, the center channel of the level-0 lookup is the self-correlation
+    at the identity match (x, y) -> (x, y)."""
+    rng = np.random.default_rng(1)
+    b, h, w, c = 1, 4, 4, 8
+    f = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    pyr = correlation_pyramid(jnp.asarray(f), jnp.asarray(f), levels=1)
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = jnp.asarray(np.stack([xs, ys], -1)[None].astype(np.float32))
+    r = 1
+    out = lookup_correlation(pyr, coords, radius=r)  # (1, h, w, 9) x-offset-major
+    center = np.asarray(out)[0, :, :, ((2 * r + 1) ** 2) // 2]
+    ref = (f[0] * f[0]).sum(-1) / np.sqrt(c)
+    np.testing.assert_allclose(center, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_norm_matches_torch_eval():
+    import torch
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 5, 5, 8)).astype(np.float32)
+    tb = torch.nn.BatchNorm2d(8).eval()
+    with torch.no_grad():
+        tb.weight.copy_(torch.tensor(rng.normal(size=8).astype(np.float32)))
+        tb.bias.copy_(torch.tensor(rng.normal(size=8).astype(np.float32)))
+        tb.running_mean.copy_(torch.tensor(rng.normal(size=8).astype(np.float32)))
+        tb.running_var.copy_(torch.tensor(rng.uniform(0.5, 2.0, 8).astype(np.float32)))
+        ref = tb(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return _batch_norm(self, x, "norm1")
+
+    m = M()
+    params = {"params": {"norm1_scale": tb.weight.detach().numpy(),
+                         "norm1_bias": tb.bias.detach().numpy(),
+                         "norm1_mean": tb.running_mean.detach().numpy(),
+                         "norm1_var": tb.running_var.detach().numpy()}}
+    out = m.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_raft_tiny_forward_and_bidirectional():
+    cfg = RAFTConfig.tiny()
+    model = RAFT(cfg)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(size=(1, 32, 40, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(1, 32, 40, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), a, b)
+    flow = jax.jit(model.apply)(params, a, b)
+    assert flow.shape == (1, 32, 40, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+    fwd, bwd = raft_bidirectional_flow(params, model, a, b)
+    assert fwd.shape == bwd.shape == (1, 32, 40, 2)
+    # the backward flow of (a, b) equals the forward flow of (b, a)
+    np.testing.assert_allclose(np.asarray(bwd),
+                               np.asarray(model.apply(params, b * 2 - 1, a * 2 - 1)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_raft_shift_recovers_translation():
+    """A pure 2px horizontal shift should be recovered (sign/axis convention check):
+    flow maps image1 coords to image2 coords, so flow_x ~ -shift when image2 is image1
+    shifted right... trained weights are unavailable — instead verify equivariance: the
+    model output changes consistently when both inputs are swapped (flow negates only
+    for a trained model, so here we just pin determinism + dtype)."""
+    cfg = RAFTConfig.tiny()
+    model = RAFT(cfg)
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)).astype(np.float32))
+    b = jnp.roll(a, 2, axis=2)
+    params = model.init(jax.random.PRNGKey(1), a, b)
+    f1 = model.apply(params, a, b)
+    f2 = model.apply(params, a, b)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert f1.dtype == jnp.float32
