@@ -1,7 +1,9 @@
 """Gradio demos — `gradios/gradio_svd_trans*.py` analog.
 
 Launches an interactive UI over the trans/base pipelines. Gradio is an optional
-dependency (not in the TPU image); the module degrades with a clear message.
+dependency (not in the TPU image); without it the demo falls back to the
+dependency-free stdlib server in :mod:`lkgd_tpu.cli.web_demo` (same controls, same
+pipeline adapter), so the demo component works in every environment.
 
   python -m lkgd_tpu.cli.gradio_demo --weights ckpts/ [--mode trans]
 """
@@ -41,24 +43,8 @@ def build_demo(pipe, params, mode: str):
                         title=f"LKGD-TPU {mode}")
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["base", "trans"], default="base")
-    p.add_argument("--weights")
-    p.add_argument("--height", type=int, default=576)
-    p.add_argument("--width", type=int, default=1024)
-    p.add_argument("--num-frames", type=int, default=14)
-    p.add_argument("--port", type=int, default=7860)
-    args = p.parse_args()
-
-    try:
-        import gradio  # noqa: F401
-    except ImportError:
-        raise SystemExit(
-            "gradio is not installed in this environment. The pipelines are fully usable "
-            "via python -m lkgd_tpu.cli.run_inference_svd; install gradio to serve the UI.")
-
-    from lkgd_tpu.cli.run_inference_svd import build_pipeline, load_params
+def build_cli_config(args):
+    """The inference-CLI config both demo front-ends build their pipeline from."""
 
     class A:  # reuse the inference CLI's builders
         mode = args.mode
@@ -75,8 +61,39 @@ def main():
         weights = args.weights
         seed = 23123134
 
-    pipe = build_pipeline(A)
-    params = load_params(pipe, A)
+    return A
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["base", "trans"], default="base")
+    p.add_argument("--weights")
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--num-frames", type=int, default=14)
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args()
+
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        print("gradio not installed — serving the stdlib web demo instead")
+        from lkgd_tpu.cli import web_demo
+
+        cfg = build_cli_config(args)
+        from lkgd_tpu.cli.run_inference_svd import build_pipeline, load_params
+
+        pipe = build_pipeline(cfg)
+        params = load_params(pipe, cfg)
+        web_demo.serve(web_demo.build_generate_fn(pipe, params, args.mode),
+                       args.mode, args.port)
+        return
+
+    from lkgd_tpu.cli.run_inference_svd import build_pipeline, load_params
+
+    cfg = build_cli_config(args)
+    pipe = build_pipeline(cfg)
+    params = load_params(pipe, cfg)
     build_demo(pipe, params, args.mode).launch(server_port=args.port)
 
 
