@@ -19,6 +19,8 @@ Env overrides:
                  (reference run_inference_svd_smooth.py)
       cogvideox  ONE full-size CogVideoX-5B I2V DiT step (49f x 480x720 latents,
                  CFG-doubled, S=17776) — s/step, not s/clip
+      train      LKGD fine-tune step (512x512 x 8f, bs1, quaternion+LoRA, remat,
+                 full fwd+bwd+optimizer) — s/step (reference train_svd_lora.sh)
 """
 
 from __future__ import annotations
@@ -185,6 +187,64 @@ def bench_smooth(reps):
             _time(lambda: pipe.generate(params, video, rng), reps, "smooth"))
 
 
+def bench_train(reps):
+    """The LKGD fine-tune step (reference train_svd_lora.py / train_svd_lora.sh config:
+    512x512, 8 frames, bs1, quaternion fusion + temporal-attn LoRA r=4 trainable,
+    gradient checkpointing): full fwd+bwd+optimizer on one chip, s/step."""
+    from lkgd_tpu.models.configs import LoraRouter, LoraRule, SVDUNetConfig
+    from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+    from lkgd_tpu.training.train_state import (SVDTrainConfig, init_train_state,
+                                               make_optimizer, make_svd_train_step)
+
+    small = bool(os.environ.get("LKGD_BENCH_SMALL"))
+    b, t, h, w = (1, 2, 8, 8) if small else (1, 8, 64, 64)  # 512x512 px -> 64x64 latents
+    kw = dict(
+        num_frames=t, knowledge_fusion=True, remat=True,
+        lora=LoraRouter(rules=(
+            LoraRule("*temporal_transformer_blocks*attn1.*", "lkgd", 4, 4.0, ()),)))
+    if small:
+        kw.update(block_out_channels=(32, 64),
+                  down_block_types=("CrossAttnDownBlockSpatioTemporal",
+                                    "DownBlockSpatioTemporal"),
+                  up_block_types=("UpBlockSpatioTemporal",
+                                  "CrossAttnUpBlockSpatioTemporal"),
+                  layers_per_block=1, num_attention_heads=(2, 4))
+    cfg = SVDUNetConfig(**kw)
+    unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
+    trainable = lambda path: "lora_" in path or "knowledge_fusion" in path  # noqa: E731
+    optimizer = make_optimizer(2e-4, trainable_predicate=trainable)
+    train_step = jax.jit(make_svd_train_step(unet, optimizer, SVDTrainConfig()),
+                         donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "latents": jnp.asarray(rng.normal(size=(b, t, h, w, 4)), jnp.float32) * 0.18215,
+        "cond_latents": jnp.asarray(rng.normal(size=(b, h, w, 4)), jnp.float32),
+        "image_embeddings": jnp.asarray(rng.normal(size=(b, 1, 1024)), jnp.float32),
+        "domain_features": jnp.asarray(rng.normal(size=(b, 1, 1024)), jnp.float32),
+        "flow_features": jnp.asarray(rng.normal(size=(b, 1, 1024)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    sample = jnp.concatenate([batch["latents"][:, :, :, :, :],
+                              jnp.repeat(batch["cond_latents"][:, None], t, 1)], -1)
+    params = unet.init(key, sample, jnp.zeros((b,)), batch["image_embeddings"],
+                       jnp.zeros((b, 3)),
+                       domain_features=batch["domain_features"],
+                       flow_features=batch["flow_features"])
+    state = init_train_state(params, optimizer)
+    jax.block_until_ready(state.params)
+
+    holder = {"state": state}
+
+    def run():
+        holder["state"], loss = train_step(holder["state"], batch, key)
+        return loss
+
+    label = ("sec/step train svd-lora (smoke config)" if small else
+             "sec/step train svd-lora (512x512 x 8f, bs1, quaternion+LoRA, remat)")
+    return label, _time(run, reps, "train")
+
+
 def bench_cogvideox(reps):
     """One full-size CogVideoX-5B DiT step (what the 50-step I2V loop repeats)."""
     from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
@@ -236,6 +296,8 @@ def main():
         label, value = bench_smooth(reps)
     elif which == "cogvideox":
         label, value = bench_cogvideox(reps)
+    elif which == "train":
+        label, value = bench_train(reps)
     else:
         raise SystemExit(f"unknown LKGD_BENCH_PIPELINE={which!r}")
 
