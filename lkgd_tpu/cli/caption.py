@@ -89,11 +89,15 @@ def _run_cogvlm(args, files, tokenizer):
 
     results = {}
     for f in files:
-        frames = load_input(f, max_frames=args.num_frames)
+        # uniform temporal sampling across the whole video (video_caption.py spans the
+        # clip duration; load_input already returns float32 frames in [0, 1])
+        frames = load_input(f)
+        idx = np.linspace(0, len(frames) - 1, min(args.num_frames, len(frames)))
+        frames = [frames[int(round(i))] for i in idx]
         import jax.image
 
         clip = np.stack([np.asarray(jax.image.resize(
-            jnp.asarray(fr, jnp.float32) / 255.0,
+            jnp.asarray(fr, jnp.float32),
             (cfg.image_size, cfg.image_size, 3), "bilinear")) for fr in frames])
         clip = (clip - mean) / std
         ids = greedy_video_caption(model, params, jnp.asarray(clip[None]), prompt,

@@ -76,25 +76,23 @@ def main():
 
     try:
         import gradio  # noqa: F401
+        have_gradio = True
     except ImportError:
         print("gradio not installed — serving the stdlib web demo instead")
-        from lkgd_tpu.cli import web_demo
-
-        cfg = build_cli_config(args)
-        from lkgd_tpu.cli.run_inference_svd import build_pipeline, load_params
-
-        pipe = build_pipeline(cfg)
-        params = load_params(pipe, cfg)
-        web_demo.serve(web_demo.build_generate_fn(pipe, params, args.mode),
-                       args.mode, args.port)
-        return
+        have_gradio = False
 
     from lkgd_tpu.cli.run_inference_svd import build_pipeline, load_params
 
     cfg = build_cli_config(args)
     pipe = build_pipeline(cfg)
     params = load_params(pipe, cfg)
-    build_demo(pipe, params, args.mode).launch(server_port=args.port)
+    if have_gradio:
+        build_demo(pipe, params, args.mode).launch(server_port=args.port)
+    else:
+        from lkgd_tpu.cli import web_demo
+
+        web_demo.serve(web_demo.build_generate_fn(pipe, params, args.mode),
+                       args.mode, args.port)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ import json
 import os
 import tempfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 
@@ -132,8 +132,7 @@ def make_handler(generate_fn: Callable, mode: str):
     return Handler
 
 
-def serve(generate_fn: Callable, mode: str = "base", port: int = 7860,
-          poll: Optional[Callable] = None) -> None:
+def serve(generate_fn: Callable, mode: str = "base", port: int = 7860) -> None:
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(generate_fn, mode))
     print(f"serving LKGD-TPU {mode} demo on http://0.0.0.0:{port}")
     httpd.serve_forever()

@@ -20,13 +20,15 @@ TPU-native rebuild of that model family:
 Weight porting targets the THUDM ``modeling_cogvlm.py``/``visual.py`` state-dict naming
 (``model.layers.N.self_attn.vision_expert_query_key_value`` etc.); tokenization (LLaMA3
 BPE) is external — the CLI accepts pre-tokenized prompts or uses ``transformers`` when
-available. Position-id policy is caller-controllable (``position_ids`` arg) since
-CogVLM2 compresses vision-token positions.
+available. RoPE positions default to CogVLM's compressed vision-token scheme
+(``build_position_ids``: contiguous vision spans share one position); pass
+``position_ids`` to override.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -220,6 +222,19 @@ class EVAVisionModel(nn.Module):
         return x
 
 
+def build_position_ids(vision_mask: jnp.ndarray) -> jnp.ndarray:
+    """CogVLM RoPE position compression (THUDM modeling_cogvlm.py build_position_ids):
+    every language token advances the position; a vision token advances it only when it
+    STARTS a contiguous vision block, so all tokens of one vision span share a single
+    rotary position. boi/eoi are language-typed here (``__call__`` clears them in
+    ``vision_mask``), so they increment like THUDM's boundary handling. With an
+    all-False mask this degrades to a plain arange (the pure-text parity case)."""
+    v = vision_mask.astype(jnp.int32)
+    prev = jnp.pad(v[:, :-1], ((0, 0), (1, 0)))
+    increment = 1 - (v & prev)  # vision-after-vision shares its block's position
+    return jnp.cumsum(increment, axis=-1) - 1
+
+
 class CogVLMVideoCaptioner(nn.Module):
     """Vision frames + token ids -> next-token logits (teacher-forced or decode)."""
 
@@ -251,7 +266,7 @@ class CogVLMVideoCaptioner(nn.Module):
            position_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, s, _ = embeds.shape
         if position_ids is None:
-            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            position_ids = build_position_ids(vision_mask)
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
         x = embeds
         for layer in self.layers:
@@ -277,13 +292,14 @@ class CogVLMVideoCaptioner(nn.Module):
         return logits[:, n_img:]  # logits over the text span
 
 
-def greedy_video_caption(model: CogVLMVideoCaptioner, params, frames: jnp.ndarray,
-                         prompt_ids: np.ndarray, max_new_tokens: int = 64) -> np.ndarray:
-    """Greedy decode (video_caption.py gen_kwargs: do_sample=False/top_k=1): returns
-    (B, max_new_tokens) generated ids, EOS-terminated, PAD-filled."""
+
+@functools.lru_cache(maxsize=8)
+def _greedy_decode_fn(model: CogVLMVideoCaptioner, b: int, n_prompt: int,
+                      max_new_tokens: int):
+    """One jitted decode program per (model config, batch, prompt-length) — cached so
+    captioning a directory of same-shape videos compiles the 8B forward ONCE, not once
+    per file (linen modules are frozen dataclasses, hence hashable cache keys)."""
     cfg = model.cfg
-    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
-    b, n_prompt = prompt_ids.shape
     total = n_prompt + max_new_tokens
 
     @jax.jit
@@ -302,6 +318,16 @@ def greedy_video_caption(model: CogVLMVideoCaptioner, params, frames: jnp.ndarra
         ids, _ = jax.lax.scan(step, ids0, jnp.arange(max_new_tokens))
         return ids[:, n_prompt:]
 
+    return run
+
+
+def greedy_video_caption(model: CogVLMVideoCaptioner, params, frames: jnp.ndarray,
+                         prompt_ids: np.ndarray, max_new_tokens: int = 64) -> np.ndarray:
+    """Greedy decode (video_caption.py gen_kwargs: do_sample=False/top_k=1): returns
+    (B, max_new_tokens) generated ids, EOS-terminated, PAD-filled."""
+    prompt_ids = jnp.asarray(prompt_ids, jnp.int32)
+    b, n_prompt = prompt_ids.shape
+    run = _greedy_decode_fn(model, b, n_prompt, max_new_tokens)
     return np.asarray(run(params, frames, prompt_ids))
 
 

@@ -70,7 +70,7 @@ class _EfficientAttention(nn.Module):
             g = x.reshape(b, h, w, c)
             g = nn.Conv(c, (self.sr, self.sr), strides=(self.sr, self.sr),
                         dtype=self.dtype, name="sr")(g)
-            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="sr_norm")(
+            kv_in = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="sr_norm")(
                 g.reshape(b, -1, c))
         k = nn.Dense(c, dtype=self.dtype, name="key")(kv_in)
         v = nn.Dense(c, dtype=self.dtype, name="value")(kv_in)
@@ -117,21 +117,21 @@ class SegformerForSemanticSegmentation(nn.Module):
             x = nn.Conv(cfg.hidden_sizes[i], (p, p), strides=(s, s), padding=p // 2,
                         dtype=self.dtype, name=f"patch_embed_{i}")(x)
             b, h, w, c = x.shape
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+            x = nn.LayerNorm(epsilon=cfg.eps, dtype=self.dtype,
                              name=f"patch_norm_{i}")(x.reshape(b, h * w, c))
             for j in range(cfg.depths[i]):
                 res = x
-                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                y = nn.LayerNorm(epsilon=cfg.eps, dtype=self.dtype,
                                  name=f"block_{i}_{j}_norm1")(x)
                 x = res + _EfficientAttention(c, cfg.num_heads[i], cfg.sr_ratios[i],
                                               cfg.eps, self.dtype,
                                               name=f"block_{i}_{j}_attn")(y, h, w)
                 res = x
-                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                y = nn.LayerNorm(epsilon=cfg.eps, dtype=self.dtype,
                                  name=f"block_{i}_{j}_norm2")(x)
                 x = res + _MixFFN(c, c * cfg.mlp_ratio, self.dtype,
                                   name=f"block_{i}_{j}_mlp")(y, h, w)
-            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"stage_norm_{i}")(x)
+            x = nn.LayerNorm(epsilon=cfg.eps, dtype=self.dtype, name=f"stage_norm_{i}")(x)
             feats.append(x.reshape(b, h, w, c))
             x = feats[-1]
 

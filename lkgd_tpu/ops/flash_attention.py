@@ -85,20 +85,12 @@ def _flash_bound_kernel(q_ref, t_ref, k_ref, v_ref, o_ref, l_ref, l_scratch, acc
     @pl.when(j == n_k_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
-        # running per-batch min row-sum — the underflow-guard signal; one scalar per
-        # batch instead of the full (BH, S) row sums (whose write-back costs ~2.5 ms/call
-        # at S=9216/BH=140; the scalar is free). The (1,1,1) block persists across the
-        # i/j grid dims for a given b, so it accumulates the min over q blocks.
-        i = pl.program_id(1)
-        cur = jnp.broadcast_to(jnp.min(l_scratch[:, 0])[None], (128,))
-
-        @pl.when(i == 0)
-        def _first():
-            l_ref[0, 0, :] = cur
-
-        @pl.when(i > 0)
-        def _acc():
-            l_ref[0, 0, :] = jnp.minimum(l_ref[0, 0, :], cur)
+        # per-(batch, q-block) min row-sum — the underflow-guard signal; one lane vector
+        # per q block instead of the full (BH, S) row sums (whose write-back costs
+        # ~2.5 ms/call at S=9216/BH=140; this is free). Each (b, i) writes its OWN
+        # block — no cross-iteration read-modify-write, so the i grid dim stays safely
+        # 'parallel' even when Mosaic splits it across megacore TPUs.
+        l_ref[0, 0, :] = jnp.broadcast_to(jnp.min(l_scratch[:, 0])[None], (128,))
 
 
 def _bound_t(q, k, scale):
@@ -463,9 +455,9 @@ def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, bl
                 pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             ],
             out_specs=(pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-                       pl.BlockSpec((1, 1, 128), lambda b, i, j: (b, 0, 0))),
+                       pl.BlockSpec((1, 1, 128), lambda b, i, j: (b, i, 0))),
             out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-                       jax.ShapeDtypeStruct((bh, 1, 128), jnp.float32)),
+                       jax.ShapeDtypeStruct((bh, n_q, 128), jnp.float32)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, d), jnp.float32),
@@ -785,16 +777,20 @@ def flash_attention_packed(y: jnp.ndarray, heads: int) -> jnp.ndarray:
     if sq_p != s:
         y = jnp.pad(y, ((0, 0), (0, sq_p - s), (0, 0)))
     kv_valid = s if sk_p != s else None
-    if heads >= 1 and _pick_seq_block(sq_p, c3, y.dtype.itemsize) > 0:
+    itemsize = y.dtype.itemsize
+    firewall = (_pick_seq_block(sq_p, c3, itemsize) > 0
+                and _pick_seq_block(sq_p, heads * d, itemsize) > 0)
+    if firewall:
         qt, kt, vt = _split_qkv(y, heads)
     else:
+        # blocks too wide for VMEM: plain transposes, like flash_attention's fallback
         q, k, v = jnp.split(y, 3, axis=-1)
         qt = q.reshape(b, sq_p, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, sq_p, d)
         kt = k.reshape(b, sk_p, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, sk_p, d)
         vt = v.reshape(b, sk_p, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, sk_p, d)
     out = _flash_core(qt, kt, vt, bq, bk, kv_valid)
-    if heads == 1:
-        out = out.reshape(b, sq_p, 1, d)
-    else:
+    if firewall and heads > 1:
         out = _merge_heads(out, heads).reshape(b, sq_p, heads, d)
+    else:
+        out = out.reshape(b, heads, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :s]

@@ -199,3 +199,53 @@ def test_porter_roundtrip_thudm_naming():
                                     jax.tree_util.tree_flatten_with_path(ported)[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bleaf),
                                       err_msg=str(pa))
+
+
+def test_build_position_ids_compression():
+    """THUDM build_position_ids semantics: language tokens advance the RoPE position;
+    contiguous vision spans share ONE position (the span start advances it); an
+    all-language mask degrades to arange."""
+    from lkgd_tpu.models.cogvlm import build_position_ids
+
+    # [lang, vis, vis, vis, lang, vis, vis, lang]
+    mask = jnp.asarray([[0, 1, 1, 1, 0, 1, 1, 0]], bool)
+    got = np.asarray(build_position_ids(mask))[0]
+    np.testing.assert_array_equal(got, [0, 1, 1, 1, 2, 3, 3, 4])
+
+    text_only = jnp.zeros((2, 5), bool)
+    np.testing.assert_array_equal(np.asarray(build_position_ids(text_only)),
+                                  np.tile(np.arange(5), (2, 1)))
+
+
+def test_default_positions_compress_video_span():
+    """__call__ must feed compressed positions: boi + N frame tokens + eoi + text gives
+    the first text token position 3 (boi=0, span=1, eoi=2), not 2 + N*tokens."""
+    from lkgd_tpu.models.cogvlm import CogVLMConfig, CogVLMVideoCaptioner
+
+    cfg = CogVLMConfig.tiny()
+    model = CogVLMVideoCaptioner(cfg)
+    frames = jnp.zeros((1, 2, cfg.image_size, cfg.image_size, 3))
+    ids = jnp.zeros((1, 3), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames, ids)
+
+    seen = {}
+
+    def probe(m, fr, i):
+        img = m.image_features(fr)
+        txt = m.embed_tokens(i)
+        emb = jnp.concatenate([img, txt], axis=1)
+        n_img = img.shape[1]
+        vm = jnp.concatenate([jnp.ones((1, n_img), bool), jnp.zeros(i.shape, bool)], 1)
+        vm = vm.at[:, 0].set(False).at[:, n_img - 1].set(False)
+        from lkgd_tpu.models.cogvlm import build_position_ids
+
+        seen["pos"] = build_position_ids(vm)
+        seen["n_img"] = n_img
+        return m(fr, i)
+
+    model.apply(params, frames, ids, method=probe)
+    pos = np.asarray(seen["pos"])[0]
+    n_img = seen["n_img"]
+    assert pos[0] == 0 and pos[1] == 1 and pos[n_img - 1] == 2  # boi, span, eoi
+    np.testing.assert_array_equal(pos[1:n_img - 1], np.ones(n_img - 2))  # shared span
+    np.testing.assert_array_equal(pos[n_img:], [3, 4, 5])  # text resumes counting

@@ -106,35 +106,55 @@ def test_padded_backward_interpret():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
 
 
-def test_bound_kernel_matches_maxtrack_interpret(monkeypatch):
-    """The bound-subtraction fast path must equal the max-tracking kernel bit-for-bit at
-    sane input scales (softmax is invariant to WHICH per-row constant is subtracted; both
-    run fp32 exp2/sum with identical relative precision)."""
+def _bhsd(x):
+    """(B, S, H, D) -> the kernels' (B*H, S, D) operand layout."""
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def test_bound_kernel_matches_maxtrack_interpret():
+    """The bound-subtraction fast path must equal the max-tracking kernel at sane input
+    scales (softmax is invariant to WHICH per-row constant is subtracted; both run fp32
+    exp2/sum with identical relative precision). The kernels are compared DIRECTLY —
+    the LKGD_FLASH_MAXTRACK env switch is read at trace time and cannot be toggled
+    between same-shape calls (jit cache)."""
     rng = np.random.default_rng(3)
     B, S, H, D = 2, 256, 3, 32
-    q, k, v = (jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)) for _ in range(3))
+    q, k, v = (_bhsd(jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)))
+               for _ in range(3))
     with pltpu.force_tpu_interpret_mode():
-        out_bound = fa.flash_attention(q, k, v)
-        monkeypatch.setenv("LKGD_FLASH_MAXTRACK", "1")
-        out_max = fa.flash_attention(q, k, v)
+        out_bound = fa._flash_bhsd(q, k, v, 128, 128)
+        out_max = fa._flash_maxtrack_bhsd(q, k, v, 128, 128, None)
     np.testing.assert_allclose(np.asarray(out_bound), np.asarray(out_max),
                                rtol=1e-6, atol=1e-6)
 
 
-def test_bound_kernel_underflow_fallback_interpret(monkeypatch):
+def test_bound_lse_kernel_matches_maxtrack_interpret():
+    rng = np.random.default_rng(5)
+    B, S, H, D = 2, 256, 2, 32
+    q, k, v = (_bhsd(jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)))
+               for _ in range(3))
+    with pltpu.force_tpu_interpret_mode():
+        out_bound, lse_bound = fa._flash_fwd_lse_bhsd(q, k, v, 128, 128)
+        out_max, lse_max = fa._flash_fwd_lse_maxtrack_bhsd(q, k, v, 128, 128, None)
+    np.testing.assert_allclose(np.asarray(out_bound), np.asarray(out_max),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_bound), np.asarray(lse_max),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bound_kernel_underflow_fallback_interpret():
     """At pathological input scales the Cauchy-Schwarz bound is loose by more than fp32's
-    underflow headroom; the l-guard must reroute to the max-tracking kernel instead of
-    emitting NaNs (verified on real TPU: 30x-scale inputs give bit-identical results to
-    LKGD_FLASH_MAXTRACK=1)."""
+    underflow headroom; the l-guard inside _flash_bhsd must reroute to the max-tracking
+    kernel instead of emitting NaNs."""
     rng = np.random.default_rng(4)
     B, S, H, D = 1, 256, 2, 32
-    q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)) * 60.0
-    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)) * 60.0
-    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+    q = _bhsd(jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)) * 60.0)
+    k = _bhsd(jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)) * 60.0)
+    v = _bhsd(jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32)))
     with pltpu.force_tpu_interpret_mode():
-        out_bound = fa.flash_attention(q, k, v)
-        monkeypatch.setenv("LKGD_FLASH_MAXTRACK", "1")
-        out_max = fa.flash_attention(q, k, v)
+        out_bound = fa._flash_bhsd(q, k, v, 128, 128)
+        out_max = fa._flash_maxtrack_bhsd(q, k, v, 128, 128, None)
     assert not np.any(np.isnan(np.asarray(out_bound)))
     np.testing.assert_allclose(np.asarray(out_bound), np.asarray(out_max),
                                rtol=1e-5, atol=1e-5)
