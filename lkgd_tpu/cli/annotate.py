@@ -73,7 +73,7 @@ def main():
         cp.register_processor("depth", make_depth_processor(params, cfg))
 
     if args.annotation == "lineart_anime":
-        from lkgd_tpu.models.depth_anything import load_state_dict
+        from lkgd_tpu.utils.porting import load_state_dict
         from lkgd_tpu.models.lineart_anime import (
             LineartAnimeConfig, make_lineart_anime_processor, port_lineart_anime)
 
@@ -88,7 +88,7 @@ def main():
     if args.annotation == "segmentation":
         import jax
 
-        from lkgd_tpu.models.depth_anything import load_state_dict
+        from lkgd_tpu.utils.porting import load_state_dict
         from lkgd_tpu.models.segformer import (
             SegformerConfig, SegformerForSemanticSegmentation,
             make_segmentation_processor, port_segformer)
@@ -108,7 +108,7 @@ def main():
         cp.register_processor("segmentation", make_segmentation_processor(params, cfg))
 
     if args.annotation == "openpose":
-        from lkgd_tpu.models.depth_anything import load_state_dict
+        from lkgd_tpu.utils.porting import load_state_dict
         from lkgd_tpu.models.openpose import (
             OpenPoseConfig, make_openpose_processor, port_openpose_body)
 

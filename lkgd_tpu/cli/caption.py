@@ -38,7 +38,7 @@ def _run_blip(args, files, tokenizer):
     from lkgd_tpu.data.video_io import load_input
     from lkgd_tpu.models.blip import (
         BlipCaptioner, BlipConfig, greedy_caption, port_blip, preprocess_images)
-    from lkgd_tpu.models.depth_anything import load_state_dict
+    from lkgd_tpu.utils.porting import load_state_dict
 
     cfg = BlipConfig.large() if args.model_size == "large" else BlipConfig.base()
     params = port_blip(load_state_dict(args.weights), cfg)
@@ -67,7 +67,7 @@ def _run_cogvlm(args, files, tokenizer):
     from lkgd_tpu.data.video_io import load_input
     from lkgd_tpu.models.cogvlm import (
         CogVLMConfig, CogVLMVideoCaptioner, greedy_video_caption, port_cogvlm)
-    from lkgd_tpu.models.depth_anything import load_state_dict
+    from lkgd_tpu.utils.porting import load_state_dict
 
     cfg = CogVLMConfig.caption_8b()
     model = CogVLMVideoCaptioner(cfg, dtype=jnp.bfloat16)

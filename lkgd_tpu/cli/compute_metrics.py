@@ -20,17 +20,9 @@ import numpy as np
 
 
 def _load_state_dict(path: str) -> dict:
-    """torch .pth/.pt (via torch.load) or .safetensors -> flat name->ndarray dict."""
-    if path.endswith(".safetensors"):
-        from lkgd_tpu.utils.porting import load_safetensors
+    from lkgd_tpu.utils.porting import load_state_dict
 
-        return load_safetensors(path)
-    import torch
-
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    return {k: v.numpy() for k, v in sd.items()}
+    return load_state_dict(path)
 
 
 def _load_dir(path: str, max_items: int):

@@ -132,7 +132,11 @@ def preprocess(images: jnp.ndarray) -> jnp.ndarray:
     (pytorch-fid's resize_input + normalize_input)."""
     x = images.astype(jnp.float32)
     if x.shape[1:3] != (299, 299):
-        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+        # torchmetrics/pytorch-fid use F.interpolate WITHOUT antialiasing; jax's
+        # antialias default would filter downscales differently and silently break
+        # comparability with published FID numbers
+        x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear",
+                             antialias=False)
     return x * 2.0 - 1.0
 
 

@@ -118,7 +118,6 @@ class _BertAttention(nn.Module):
     """Post-LN BERT attention block (self or cross)."""
 
     cfg: BlipConfig
-    kv_dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,9 +139,9 @@ class _TextLayer(nn.Module):
     @nn.compact
     def __call__(self, x, enc, causal_mask):
         cfg = self.cfg
-        x = _BertAttention(cfg, cfg.text_hidden, dtype=self.dtype,
+        x = _BertAttention(cfg, dtype=self.dtype,
                            name="attention")(x, x, causal_mask)
-        x = _BertAttention(cfg, cfg.vision_hidden, dtype=self.dtype,
+        x = _BertAttention(cfg, dtype=self.dtype,
                            name="crossattention")(x, enc, None)
         h = nn.Dense(cfg.text_intermediate, dtype=self.dtype, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)

@@ -160,7 +160,10 @@ class DepthAnything(nn.Module):
         g = cfg.image_size // cfg.patch_size
         patch_pos = pos[:, 1:].reshape(1, g, g, cfg.hidden_size)
         if (ph, pw) != (g, g):
-            patch_pos = _bilinear_resize(patch_pos, ph, pw)
+            # HF Dinov2 interpolate_pos_encoding: BICUBIC, align_corners=False, no
+            # antialias — bilinear/antialiased kernels diverge from the torch oracle
+            patch_pos = jax.image.resize(
+                patch_pos, (1, ph, pw, cfg.hidden_size), "cubic", antialias=False)
         x = x + patch_pos.reshape(1, ph * pw, cfg.hidden_size).astype(self.dtype)
         cls = jnp.broadcast_to(cls_tok.astype(self.dtype) + pos[:, :1].astype(self.dtype),
                                (b, 1, cfg.hidden_size))
@@ -311,19 +314,10 @@ def port_depth_anything(state_dict, cfg: DepthAnythingConfig):
 
 
 def load_state_dict(path: str):
-    """Load an HF state dict from .safetensors / .npz / torch .bin into numpy arrays."""
-    import numpy as np
+    """Back-compat alias for :func:`lkgd_tpu.utils.porting.load_state_dict`."""
+    from lkgd_tpu.utils.porting import load_state_dict as _load
 
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
-
-        return load_file(path)
-    if path.endswith(".npz"):
-        return dict(np.load(path))
-    import torch
-
-    return {k: v.numpy() for k, v in torch.load(path, map_location="cpu",
-                                                weights_only=True).items()}
+    return _load(path)
 
 
 def make_depth_processor(params, cfg: DepthAnythingConfig, dtype=jnp.float32):

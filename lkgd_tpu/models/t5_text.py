@@ -191,7 +191,8 @@ def port_t5_encoder(state_dict, config: T5Config, dtype=jnp.float32) -> dict:
         blk["wo"] = {"kernel": get(f"block.{i}.layer.1.DenseReluDense.wo.weight").T}
         blk["ff_layer_norm"] = {"weight": get(f"block.{i}.layer.1.layer_norm.weight")}
         p[f"block_{i}"] = blk
-    return {"params": jax.tree.map(lambda x: jnp.asarray(x), p)}
+    # cast at port time: the XXL target is ~4.7B params — fp32 would not fit 16 GB HBM
+    return {"params": jax.tree.map(lambda x: jnp.asarray(x, dtype), p)}
 
 
 class T5TextEncoder:

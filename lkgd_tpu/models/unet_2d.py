@@ -48,7 +48,10 @@ class UNet2DConfig:
     joint: Optional[JointAttentionConfig] = None
     lora: LoraRouter = EMPTY_ROUTER
     # patch_FSM joint-frame track fusion in the spatial blocks (patch_FSM.py:386-443);
-    # forward then takes tracks=(src_xy, dst_xy, visibility) in pixel coords
+    # forward then takes tracks=(src_xy, dst_xy, visibility) — IMAGE-pixel coords when
+    # forward's track_image_size gives the pixel resolution (the reference contract:
+    # downsample = image_size / feat_size, patch_FSM.py:427-431), else coords on the
+    # latent sample grid
     track_fusion: bool = False
 
     @property
@@ -135,11 +138,13 @@ class UNet2DCondition(nn.Module):
         down_block_additional_residuals: Optional[Tuple[jnp.ndarray, ...]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
         joint_scale=1.0,
-        tracks=None,  # (src_xy, dst_xy, visibility) pixel-space point tracks
+        tracks=None,  # (src_xy, dst_xy, visibility) point tracks (see config note)
+        track_image_size=None,  # (H_px, W_px) pixel resolution the track coords use;
+                                # None = coords already on the latent sample grid
     ) -> jnp.ndarray:
         cfg = self.config
         b = sample.shape[0]
-        track_res = sample.shape[1:3]
+        track_res = track_image_size or sample.shape[1:3]
 
         t_emb = get_timestep_embedding(
             jnp.broadcast_to(jnp.atleast_1d(timesteps), (b,)), cfg.block_out_channels[0],

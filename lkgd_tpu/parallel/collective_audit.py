@@ -28,15 +28,22 @@ _BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
           "pred": 1, "s64": 8, "f64": 8}
 
 
+_OP_NAME_RE = re.compile(
+    r"\b(?:" + "|".join(re.escape(op) for op in COLLECTIVE_OPS) + r")(?:-start)?\(")
+
+
 def _result_bytes(line: str) -> int:
     """Bytes of the result shape(s) on the lhs of an HLO instruction line."""
     lhs = line.split(" = ", 1)
     if len(lhs) != 2:
         return 0
     total = 0
-    # result may be a tuple: take every typed shape before the op name
+    # result may be a tuple: take every typed shape before the OP NAME — not before the
+    # first "(", which for tuple results like "(f32[...], u32[]) all-gather-start(...)"
+    # is the tuple's own paren and would make the scan swallow operand shapes too
     rhs = lhs[1]
-    op_pos = rhs.find("(")
+    m_op = _OP_NAME_RE.search(rhs)
+    op_pos = m_op.start() if m_op else rhs.find("(")
     for m in _SHAPE_RE.finditer(rhs[:op_pos if op_pos > 0 else len(rhs)]):
         dtype, dims = m.group(1), m.group(2)
         if dtype not in _BYTES:

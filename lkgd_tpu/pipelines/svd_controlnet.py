@@ -93,7 +93,39 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         guidance = self._guidance_scale(batch_size)
         schedule, scheduler = self.schedule, self.scheduler
 
+        sequential = cfg.sequential_cfg and cfg.do_classifier_free_guidance
+        if sequential:
+            # (2B, ...) stream-major [uncond; cond] -> (2, B, ...) halves for lax.map
+            # (same deployment switch as the base pipeline: one compiled
+            # controlnet+unet body executed twice, peak live activations halved)
+            emb_pair = image_embeddings.reshape(2, batch_size, *image_embeddings.shape[1:])
+            ilat_pair = image_latents.reshape(2, batch_size, *image_latents.shape[1:])
+            control_pair = control_rows.reshape(2, batch_size, *control_rows.shape[1:])
+            ati_pair = added_time_ids.reshape(2, batch_size, *added_time_ids.shape[1:])
+
         def step_fn(latents, i):
+            if sequential:
+                t = schedule.timesteps[i]
+                scaled = scheduler.scale_model_input(schedule, latents, i).astype(self.dtype)
+
+                def half(args):
+                    emb, ilat, ctl, ati = args
+                    m = jnp.concatenate([scaled, ilat], axis=-1)
+                    down_res, mid_res = self.controlnet.apply(
+                        params["controlnet"], m, t, emb, ati, controlnet_cond=ctl,
+                        conditioning_scale=self.controlnet_cond_scale)
+                    down_res = tuple(r * self.controlnet_scale for r in down_res)
+                    mid_res = mid_res * self.controlnet_scale
+                    return self.unet_seq.apply(
+                        params["unet"], m, t, emb, ati,
+                        down_block_additional_residuals=down_res,
+                        mid_block_additional_residual=mid_res)
+
+                eps = jax.lax.map(half, (emb_pair, ilat_pair, control_pair, ati_pair))
+                eps = eps.astype(jnp.float32)
+                noise_pred = eps[0] + guidance * (eps[1] - eps[0])
+                latents, _ = scheduler.step(schedule, noise_pred, i, latents)
+                return latents, ()
             model_in = (jnp.concatenate([latents] * 2, axis=0)
                         if cfg.do_classifier_free_guidance else latents)
             model_in = scheduler.scale_model_input(schedule, model_in, i)

@@ -63,6 +63,9 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
 
         added_time_ids = self._add_time_ids(4 * NC)
         schedule, scheduler = self.schedule, self.scheduler
+        sequential = cfg.sequential_cfg  # smooth always runs CFG (per-frame guidance)
+        if sequential:
+            ati_half = self._add_time_ids(2 * NC)
         n_steps = schedule.num_steps - self.start_step
         # one random front offset per step (reference get_chunks rand_first, :526-533)
         offsets = jax.random.randint(rng_offsets, (n_steps,), 0, K)  # front pad in [0, K-1]
@@ -71,13 +74,17 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
 
         def step_fn(latents, carry_in):
             i, offset = carry_in
-            valid = (frame_pos >= offset) & (frame_pos < offset + T)  # (padded,)
 
-            # place sequence into the padded buffer at the traced offset
-            buf = jnp.zeros((padded,) + latents.shape[1:], latents.dtype)
-            buf = jax.lax.dynamic_update_slice(
-                buf, latents, (offset,) + (0,) * (latents.ndim - 1))
-            chunks = buf.reshape(NC, K, *latents.shape[1:])  # (NC, K, h, w, 4)
+            # place the sequence into the padded buffer at the traced offset; out-of-range
+            # positions replicate the clip's edge frames (clamped gather). Edge replication
+            # — not zero fill — matters twice: it approximates the reference's SHORTER
+            # boundary chunks (get_chunks, reference :526-533) better than zero frames the
+            # temporal attention would attend to, and all-zero frames make zero-variance
+            # GroupNorm groups whose 1/sqrt(var+eps) amplifies fp32 noise ~1e3x per norm
+            # layer into chaotic batch-size-dependent outputs (found via the
+            # sequential-CFG equivalence test)
+            src = jnp.clip(frame_pos - offset, 0, T - 1)
+            chunks = latents[src].reshape(NC, K, *latents.shape[1:])  # (NC, K, h, w, 4)
 
             # per-chunk first/last VALID frame (clamped into the live range)
             c0 = jnp.arange(NC) * K
@@ -86,6 +93,39 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
 
             fwd = chunks
             bwd = chunks[:, ::-1]
+            g = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, K)
+
+            if sequential:
+                # sequential-CFG deployment switch (see pipelines/svd.py): the joint
+                # [fwd, bwd] stream pair runs once per CFG side through one compiled
+                # UNet body (halved stream masks), halving peak live activations;
+                # bit-equivalent to the 4NC batch below
+                lat_half = jnp.concatenate([fwd, bwd], axis=0)  # (2NC, K, ...)
+                scaled = scheduler.scale_model_input(schedule, lat_half, i).astype(self.dtype)
+                cond_pair = jnp.stack([
+                    jnp.broadcast_to(zero_lat, (2 * NC,) + zero_lat.shape[1:]),
+                    jnp.concatenate([cond_latents[first_ids], cond_latents[last_ids]],
+                                    axis=0)])
+                emb_pair = jnp.stack([
+                    jnp.broadcast_to(zero_emb, (2 * NC,) + zero_emb.shape[1:]),
+                    jnp.concatenate([image_embeddings[first_ids], image_embeddings[last_ids]],
+                                    axis=0)])
+
+                def half(args):
+                    cond_r, emb_r = args
+                    c = jnp.repeat(cond_r[:, None], K, axis=1).astype(self.dtype)
+                    m = jnp.concatenate([scaled, c], axis=-1)
+                    return self.unet_seq.apply(params["unet"], m, schedule.timesteps[i],
+                                               emb_r, ati_half)
+
+                eps = jax.lax.map(half, (cond_pair, emb_pair)).astype(jnp.float32)
+                noise_pred = eps[0] + g[None, :, None, None, None] * (eps[1] - eps[0])
+                noise_pred = noise_pred[:NC].reshape(padded, *latents.shape[1:])
+                noise_pred = jax.lax.dynamic_slice(
+                    noise_pred, (offset,) + (0,) * (latents.ndim - 1), latents.shape)
+                latents, _ = scheduler.step(schedule, noise_pred, i, latents)
+                return latents, ()
+
             lat_rows = jnp.concatenate([fwd, bwd, fwd, bwd], axis=0)  # (4NC, K, ...)
             cond_rows = jnp.concatenate([
                 jnp.broadcast_to(zero_lat, (NC,) + zero_lat.shape[1:]),
@@ -105,7 +145,6 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
                 added_time_ids).astype(jnp.float32)
 
             uncond, cond = jnp.split(noise_pred, 2, axis=0)
-            g = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, K)
             noise_pred = uncond + g[None, :, None, None, None] * (cond - uncond)
             # keep the forward stream only (reference :593)
             noise_pred = noise_pred[:NC].reshape(padded, *latents.shape[1:])

@@ -267,6 +267,23 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Any checkpoint file (.safetensors / .npz / torch .bin/.pth/.pt) -> flat
+    name->ndarray dict. The single loader behind every porter CLI (annotate, caption,
+    compute_metrics, verify_parity); unwraps torch Lightning-style nested
+    ``{"state_dict": ...}`` containers."""
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
 # ---------------------------------------------------------------- LoRA adapter interop
 def lora_key_map(adapter_name: str):
     """diffusers/peft LoRA state-dict names -> our in-kernel adapter params.

@@ -101,3 +101,17 @@ def test_ulysses_all_to_all_lowering():
     found = audit_compiled(compiled)
     print(summarize(found))
     assert "all-to-all" in found, list(found)
+
+
+def test_result_bytes_tuple_async_collective():
+    """Async TPU lowering emits tuple-result start ops; byte accounting must cover the
+    RESULT tuple only, not the operand shapes after the op name."""
+    from lkgd_tpu.parallel.collective_audit import audit_hlo
+
+    line = ("  %ag = (f32[2,8]{1,0}, f32[4,8]{1,0}, u32[], u32[]) "
+            "all-gather-start(f32[2,8]{1,0} %p), replica_groups={{0,1}}")
+    found = audit_hlo(line)
+    assert list(found) == ["all-gather"]
+    bytes_, _ = found["all-gather"][0]
+    # 2*8*4 + 4*8*4 + 4 + 4 (result tuple) — NOT + another 2*8*4 for the operand
+    assert bytes_ == 64 + 128 + 8

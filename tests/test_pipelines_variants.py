@@ -194,3 +194,20 @@ def test_base_sequential_cfg_matches_batched():
     lat_b = pipe_b(params, img, rng=rng, output_type="latent")
     lat_s = pipe_s(params, img, rng=rng, output_type="latent")
     np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
+
+
+def test_smooth_sequential_cfg_matches_batched():
+    import dataclasses
+
+    cfg = SVDPipelineConfig(height=64, width=64, num_frames=4, num_inference_steps=4,
+                            decode_chunk_size=2)
+    kw = dict(unet_config=JOINT_UNET, start_step=1, total_frames=10, **KW)
+    pipe_b = StableVideoDiffusionSmoothPipeline(config=cfg, **kw)
+    pipe_s = StableVideoDiffusionSmoothPipeline(
+        config=dataclasses.replace(cfg, sequential_cfg=True), **kw)
+    params = pipe_b.init_params(jax.random.PRNGKey(0))
+    video = np.random.default_rng(11).uniform(size=(10, 64, 64, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+    lat_b = pipe_b(params, video, rng=rng, output_type="latent")
+    lat_s = pipe_s(params, video, rng=rng, output_type="latent")
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
