@@ -20,16 +20,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lkgd_tpu.ops.attention import _xla_attention
-
 
 def _ulysses_body(q, k, v, axis: str):
     """Per-shard body: q/k/v (B, S/P, H, D) -> out (B, S/P, H, D)."""
+    from lkgd_tpu.ops.attention import dot_product_attention
+
     # exchange: split heads across devices, gather full sequence
     q = jax.lax.all_to_all(q, axis, split_axis=2, concat_axis=1, tiled=True)
     k = jax.lax.all_to_all(k, axis, split_axis=2, concat_axis=1, tiled=True)
     v = jax.lax.all_to_all(v, axis, split_axis=2, concat_axis=1, tiled=True)
-    out = _xla_attention(q, k, v, None)  # (B, S, H/P, D)
+    # flash kernel on TPU — the full-sequence block is exactly where S×S logits
+    # would not fit (S=17776 at CogVideoX sizes); XLA softmax elsewhere
+    out = dot_product_attention(q, k, v)  # (B, S, H/P, D)
     return jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=2, tiled=True)
 
 
@@ -43,35 +45,33 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh
 
 
 def _ring_body(q, k, v, axis: str):
-    """Ring attention with online softmax: K/V shards rotate via ppermute."""
+    """Ring attention: K/V shards rotate via ppermute; per-block (out, lse) partials from
+    ``attention_with_lse`` (the flash kernel on TPU — no S/P × S/P logits materialized
+    inside a shard) combine exactly in the log2 domain."""
+    from lkgd_tpu.ops.attention import attention_with_lse
+
     p = jax.lax.axis_size(axis)
-    idx = jax.lax.axis_index(axis)
-    scale = q.shape[-1] ** -0.5
+
+    # phase 0: the device's own K/V shard
+    o, m = attention_with_lse(q, k, v)
+    num = o.astype(jnp.float32)
+    den = jnp.ones_like(m)
 
     def step(carry, _):
-        k_blk, v_blk, m, l, acc = carry
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_blk,
-                            preferred_element_type=jnp.float32) * scale
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        alpha = jnp.exp(m - m_new)
-        probs = jnp.exp(logits - m_new)
-        l_new = alpha * l + jnp.sum(probs, axis=-1, keepdims=True)
-        acc_new = acc * alpha.swapaxes(1, 2) + jnp.einsum(
-            "bhqk,bkhd->bqhd", probs.astype(v_blk.dtype), v_blk,
-            preferred_element_type=jnp.float32)
-        perm = [(i, (i + 1) % p) for i in range(p)]
-        k_next = jax.lax.ppermute(k_blk, axis, perm)
-        v_next = jax.lax.ppermute(v_blk, axis, perm)
-        return (k_next, v_next, m_new, l_new, acc_new), None
+        kb, vb, m, num, den = carry
+        perm = [(j, (j + 1) % p) for j in range(p)]
+        kb = jax.lax.ppermute(kb, axis, perm)
+        vb = jax.lax.ppermute(vb, axis, perm)
+        o, lse = attention_with_lse(q, kb, vb)
+        m_new = jnp.maximum(m, lse)
+        c_old = jnp.exp2(m - m_new)
+        c_new = jnp.exp2(lse - m_new)
+        num = num * c_old[..., None] + o.astype(jnp.float32) * c_new[..., None]
+        den = den * c_old + c_new
+        return (kb, vb, m_new, num, den), None
 
-    # derive carries from q so their device-varying type matches the loop outputs
-    m0 = q.swapaxes(1, 2)[..., :1].astype(jnp.float32) * 0.0 - 1e30  # (b, h, sq, 1)
-    l0 = m0 * 0.0
-    acc0 = q.astype(jnp.float32) * 0.0
-    (k, v, m, l, acc), _ = jax.lax.scan(step, (k, v, m0, l0, acc0), None, length=p)
-    del idx
-    return (acc / l.swapaxes(1, 2)).astype(q.dtype)
+    (k, v, m, num, den), _ = jax.lax.scan(step, (k, v, m, num, den), None, length=p - 1)
+    return (num / den[..., None]).astype(q.dtype)
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mesh: Mesh,

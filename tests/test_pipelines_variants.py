@@ -211,3 +211,23 @@ def test_smooth_sequential_cfg_matches_batched():
     lat_b = pipe_b(params, video, rng=rng, output_type="latent")
     lat_s = pipe_s(params, video, rng=rng, output_type="latent")
     np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
+
+
+def test_controlnet_sequential_cfg_matches_batched():
+    import dataclasses
+
+    from lkgd_tpu.models.controlnet_svd import ControlNetSDVConfig
+
+    cn_cfg = ControlNetSDVConfig(unet=PLAIN_UNET,
+                                 conditioning_embedding_out_channels=(16, 32, 96))
+    kw = dict(unet_config=PLAIN_UNET, controlnet_config=cn_cfg, **KW)
+    pipe_b = StableVideoDiffusionControlNetPipeline(config=PCFG, **kw)
+    pipe_s = StableVideoDiffusionControlNetPipeline(
+        config=dataclasses.replace(PCFG, sequential_cfg=True), **kw)
+    params = pipe_b.init_params(jax.random.PRNGKey(0))
+    img = np.random.default_rng(12).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    ctrl = np.random.default_rng(13).uniform(size=(4, 64, 64, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(6)
+    lat_b = pipe_b(params, img, control=ctrl, rng=rng, output_type="latent")
+    lat_s = pipe_s(params, img, control=ctrl, rng=rng, output_type="latent")
+    np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
