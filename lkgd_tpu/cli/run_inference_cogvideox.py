@@ -25,7 +25,11 @@ def main():
 
     enable_persistent_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("--image", required=True)
+    p.add_argument("--generate-type", choices=["i2v", "t2v", "v2v"], default="i2v",
+                   help="reference cli_demo.py generate_type analog")
+    p.add_argument("--image", help="conditioning image (i2v) or input video (v2v)")
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="v2v SDEdit strength: fraction of the schedule re-denoised")
     p.add_argument("--output", default="output_cogvideox.mp4")
     p.add_argument("--weights", help="safetensors dir (transformer/vae_3d)")
     p.add_argument("--lora", help="LoRA safetensors to merge (diffusers/peft layout)")
@@ -47,14 +51,29 @@ def main():
                                                   CogVideoXPipelineConfig)
     from lkgd_tpu.utils import porting
 
+    import dataclasses
+
+    from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXTextToVideoPipeline,
+                                                  CogVideoXVideoToVideoPipeline)
+
+    if args.generate_type != "t2v" and not args.image:
+        p.error(f"--image is required for --generate-type {args.generate_type}")
     tcfg = CogVideoXConfig.tiny() if args.tiny else CogVideoXConfig.cogvideox_5b_i2v()
+    if args.generate_type in ("t2v", "v2v"):
+        # T2V checkpoints have no image-condition channels (reference cli_demo.py:122)
+        tcfg = dataclasses.replace(tcfg, in_channels=tcfg.out_channels)
     vcfg = CogVideoXVAEConfig.tiny() if args.tiny else CogVideoXVAEConfig()
     pcfg = CogVideoXPipelineConfig(
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
         vae_scale_factor_spatial=2 ** (len(vcfg.block_out_channels) - 1))
-    pipe = CogVideoXImageToVideoPipeline(config=pcfg, transformer_config=tcfg,
-                                         dtype=jnp.bfloat16)
+    kw = dict(config=pcfg, transformer_config=tcfg, dtype=jnp.bfloat16)
+    if args.generate_type == "t2v":
+        pipe = CogVideoXTextToVideoPipeline(**kw)
+    elif args.generate_type == "v2v":
+        pipe = CogVideoXVideoToVideoPipeline(strength=args.strength, **kw)
+    else:
+        pipe = CogVideoXImageToVideoPipeline(**kw)
     vae = AutoencoderKLCogVideoX(vcfg, dtype=jnp.bfloat16)
 
     params = jax.jit(pipe.init_params)(jax.random.PRNGKey(args.seed))
@@ -78,14 +97,10 @@ def main():
             sd, params["transformer"], adapter_name="lora")
         print(f"merged LoRA from {args.lora}")
 
-    image = process_frames(load_input(args.image)[:1], args.height, args.width)[0]
-
     @jax.jit
     def encode(vp, img):
         lat = vae.apply(vp, img, method=AutoencoderKLCogVideoX.encode_mode)
-        return lat[:, 0] * vcfg.scaling_factor  # (B, h, w, C_lat)
-
-    image_latents = encode(vae_params, jnp.asarray(image[None, None]) * 2.0 - 1.0)
+        return lat * vcfg.scaling_factor  # (B, F_lat, h, w, C_lat)
 
     if args.prompt_embeds:
         emb = np.load(args.prompt_embeds)
@@ -94,8 +109,19 @@ def main():
         print("no --prompt-embeds: zero T5 embeddings (smoke mode)")
         prompt_embeds = jnp.zeros((1, tcfg.max_text_seq_length, tcfg.text_embed_dim))
 
-    latents = pipe(params, prompt_embeds, image_latents,
-                   rng=jax.random.PRNGKey(args.seed))
+    rng = jax.random.PRNGKey(args.seed)
+    if args.generate_type == "t2v":
+        latents = pipe(params, prompt_embeds, rng=rng)
+    elif args.generate_type == "v2v":
+        frames = process_frames(load_input(args.image)[:args.num_frames],
+                                args.height, args.width)
+        video_latents = encode(vae_params, jnp.asarray(frames[None]) * 2.0 - 1.0)
+        latents = pipe(params, prompt_embeds, video_latents, rng=rng)
+    else:
+        image = process_frames(load_input(args.image)[:1], args.height, args.width)[0]
+        image_latents = encode(vae_params,
+                               jnp.asarray(image[None, None]) * 2.0 - 1.0)[:, 0]
+        latents = pipe(params, prompt_embeds, image_latents, rng=rng)
 
     @jax.jit
     def decode(vp, z):

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--max-steps", type=int, default=1000)
     p.add_argument("--checkpoint-every", type=int, default=200)
+    p.add_argument("--mode", choices=["i2v", "t2v"], default="i2v",
+                   help="t2v drops the image-condition channels (reference cogvideox_t2v/lora_trainer.py)")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke/testing)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
@@ -48,6 +50,11 @@ def main():
         projections=("to_q", "to_k", "to_v", "to_out")),))
     cfg = (CogVideoXConfig.tiny(lora=lora) if args.tiny
            else CogVideoXConfig.cogvideox_5b_i2v(lora=lora))
+    if args.mode == "t2v":
+        import dataclasses
+
+        # T2V checkpoints take bare noise latents (no image-condition channels)
+        cfg = dataclasses.replace(cfg, in_channels=cfg.out_channels)
     model = CogVideoXTransformer3D(cfg, dtype=jnp.bfloat16 if not args.tiny else jnp.float32)
 
     class _Adapted:
@@ -96,7 +103,7 @@ def main():
 
     trainable = lambda path: "lora_" in path or "knowledge_fusion" in path
     optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable)
-    step = make_cogvideox_train_step(model, optimizer)
+    step = make_cogvideox_train_step(model, optimizer, mode=args.mode)
     state = init_train_state(params, optimizer)
 
     loader = PrefetchLoader(ds, batch_size=B)

@@ -154,18 +154,141 @@ class CogVideoXImageToVideoPipeline:
                                          domain_features, flow_features))
 
 
-def make_cogvideox_train_step(transformer: CogVideoXTransformer3D, optimizer,
-                              scheduler: Optional[CogVideoXDDIMScheduler] = None):
-    """v-prediction MSE train step (reference lora_trainer.py ``compute_loss``).
+class CogVideoXTextToVideoPipeline(CogVideoXImageToVideoPipeline):
+    """Latent-level T2V generation (reference CogVideoXPipeline,
+    `CogVideo-main/inference/cli_demo.py:122`): the I2V loop without the channel-
+    concatenated image condition — transformer ``in_channels`` must equal
+    ``out_channels`` (16 for CogVideoX-2B/5B T2V checkpoints)."""
 
-    batch: latents (B,F,h,w,16) scaled, image_latents (B,h,w,16), prompt_embeds
-    (B,L,4096), optional domain/flow features."""
+    def init_params(self, rng: jax.Array) -> dict:
+        cfg, tcfg = self.config, self.transformer.config
+        latents = jnp.zeros((2, cfg.latent_frames, cfg.latent_height, cfg.latent_width,
+                             tcfg.in_channels), self.dtype)
+        prompt = jnp.zeros((2, tcfg.max_text_seq_length, tcfg.text_embed_dim), self.dtype)
+        dom = jnp.zeros((2, 1, 1000), self.dtype)
+        return {"transformer": self.transformer.init(
+            rng, latents, prompt, jnp.zeros((2,)), domain_features=dom, flow_features=dom)}
+
+    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, rng,
+                       domain_features=None, flow_features=None,
+                       init_latents=None, start_index: int = 0):
+        """``init_latents``/``start_index`` implement the V2V (SDEdit) entry: denoising
+        starts from the given noised latents at ``schedule.timesteps[start_index]``."""
+        cfg = self.config
+        b = prompt_embeds.shape[0]
+        f = cfg.latent_frames
+
+        if init_latents is None:
+            latents = jax.random.normal(
+                rng, (b, f, cfg.latent_height, cfg.latent_width,
+                      self.transformer.config.out_channels), jnp.float32)
+        else:
+            latents = init_latents.astype(jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = [None] * latents.ndim
+            if "data" in self.mesh.axis_names and latents.shape[0] % self.mesh.shape["data"] == 0:
+                axes[0] = "data"
+            if "context" in self.mesh.axis_names and f % self.mesh.shape["context"] == 0:
+                axes[1] = "context"
+            latents = jax.lax.with_sharding_constraint(
+                latents, NamedSharding(self.mesh, P(*axes)))
+
+        do_cfg = cfg.guidance_scale > 1.0
+        ctx = (jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+               if do_cfg else prompt_embeds).astype(self.dtype)
+
+        schedule, scheduler = self.schedule, self.scheduler
+        n = schedule.num_steps
+
+        def step_fn(latents, i):
+            t = schedule.timesteps[i]
+            model_in = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
+            pred = self.transformer.apply(
+                params["transformer"], model_in.astype(self.dtype), ctx,
+                jnp.full((model_in.shape[0],), t, jnp.float32),
+                domain_features=domain_features, flow_features=flow_features,
+            ).astype(jnp.float32)
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                if cfg.use_dynamic_cfg:
+                    g = 1.0 + (cfg.guidance_scale - 1.0) * (
+                        (1.0 - jnp.cos(jnp.pi * ((n - i.astype(jnp.float32)) / n) ** 5.0)) / 2.0)
+                else:
+                    g = cfg.guidance_scale
+                pred = uncond + g * (cond - uncond)
+            latents, _ = scheduler.step(schedule, pred, i, latents)
+            return latents, ()
+
+        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(start_index, n))
+        return latents
+
+    def __call__(self, params, prompt_embeds, negative_prompt_embeds=None,
+                 rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        prompt_embeds = jnp.asarray(prompt_embeds)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return np.asarray(self._generate(params, prompt_embeds, negative_prompt_embeds,
+                                         rng, domain_features, flow_features))
+
+
+class CogVideoXVideoToVideoPipeline(CogVideoXTextToVideoPipeline):
+    """Latent-level V2V (reference CogVideoXVideoToVideoPipeline,
+    `CogVideo-main/inference/cli_demo.py:124`): SDEdit — the input video's latents are
+    noised to ``timesteps[int(n*(1-strength))]`` and re-denoised from there. ``strength``
+    is static (it sets the scan length)."""
+
+    def __init__(self, *args, strength: float = 0.8, **kwargs):
+        super().__init__(*args, **kwargs)
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
+        self.strength = strength
+        n = self.schedule.num_steps
+        self.start_index = min(int(round(n * (1.0 - strength))), n - 1)
+        self._generate_v2v = jax.jit(self._generate_v2v_impl)
+
+    def _generate_v2v_impl(self, params, prompt_embeds, negative_prompt_embeds,
+                           video_latents, rng, domain_features=None, flow_features=None):
+        noise = jax.random.normal(rng, video_latents.shape, jnp.float32)
+        t0 = jnp.full((video_latents.shape[0],), self.schedule.timesteps[self.start_index])
+        init = self.scheduler.add_noise(video_latents.astype(jnp.float32), noise, t0)
+        return self._generate_impl(params, prompt_embeds, negative_prompt_embeds, rng,
+                                   domain_features, flow_features,
+                                   init_latents=init, start_index=self.start_index)
+
+    def __call__(self, params, prompt_embeds, video_latents, negative_prompt_embeds=None,
+                 rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        prompt_embeds = jnp.asarray(prompt_embeds)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return np.asarray(self._generate_v2v(params, prompt_embeds, negative_prompt_embeds,
+                                             jnp.asarray(video_latents), rng,
+                                             domain_features, flow_features))
+
+
+def make_cogvideox_train_step(transformer: CogVideoXTransformer3D, optimizer,
+                              scheduler: Optional[CogVideoXDDIMScheduler] = None,
+                              mode: str = "i2v"):
+    """v-prediction MSE train step (reference lora_trainer.py ``compute_loss``; the T2V
+    variant per `finetune/models/cogvideox_t2v/lora_trainer.py:228` drops the
+    channel-concatenated image condition).
+
+    batch: latents (B,F,h,w,16) scaled, image_latents (B,h,w,16) (i2v only),
+    prompt_embeds (B,L,4096), optional domain/flow features."""
     import optax
 
     from lkgd_tpu.training.train_state import TrainState
 
     sched = scheduler or CogVideoXDDIMScheduler()
     acp = jnp.asarray(sched.alphas_cumprod, jnp.float32)
+
+    if mode not in ("i2v", "t2v"):
+        raise ValueError(f"mode must be 'i2v' or 't2v', got {mode!r}")
 
     def loss_fn(params, batch, rng):
         latents = batch["latents"].astype(jnp.float32)
@@ -176,10 +299,14 @@ def make_cogvideox_train_step(transformer: CogVideoXTransformer3D, optimizer,
         noisy = sched.add_noise(latents, noise, timesteps)
         target = sched.get_velocity(latents, noise, timesteps)
 
-        img = jnp.concatenate([
-            batch["image_latents"][:, None],
-            jnp.zeros((b, f - 1) + batch["image_latents"].shape[1:], latents.dtype)], axis=1)
-        model_in = jnp.concatenate([noisy, img], axis=-1)
+        if mode == "t2v":
+            model_in = noisy
+        else:
+            img = jnp.concatenate([
+                batch["image_latents"][:, None],
+                jnp.zeros((b, f - 1) + batch["image_latents"].shape[1:], latents.dtype)],
+                axis=1)
+            model_in = jnp.concatenate([noisy, img], axis=-1)
         pred = transformer.apply(
             params, model_in, batch["prompt_embeds"], timesteps.astype(jnp.float32),
             domain_features=batch.get("domain_features"),

@@ -146,3 +146,72 @@ def test_cogvideox_sequence_parallel_matches_dense():
             sharded = jax.device_put(params, replicated(mesh))
             out = pipe(sharded, prompt, img)
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5, err_msg=mode)
+
+
+def test_cogvideox_t2v_pipeline():
+    """T2V = the loop without image conditioning (reference CogVideoXPipeline,
+    cli_demo.py:122); transformer in_channels == out_channels."""
+    import dataclasses
+
+    from lkgd_tpu.pipelines.cogvideox_i2v import CogVideoXTextToVideoPipeline
+
+    tcfg = dataclasses.replace(TCFG, in_channels=TCFG.out_channels)
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
+                                   num_inference_steps=2)
+    pipe = CogVideoXTextToVideoPipeline(pcfg, tcfg, dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    prompt = jnp.ones((1, 8, 64))
+    out = pipe(params, prompt, rng=jax.random.PRNGKey(1))
+    assert out.shape == (1, 3, 4, 4, 4)
+    assert np.isfinite(out).all()
+    # deterministic for a fixed key
+    out2 = pipe(params, prompt, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_cogvideox_v2v_pipeline_strength():
+    """V2V (SDEdit) runs only the strength-tail of the schedule from the noised input
+    (reference CogVideoXVideoToVideoPipeline, cli_demo.py:124)."""
+    import dataclasses
+
+    from lkgd_tpu.pipelines.cogvideox_i2v import CogVideoXVideoToVideoPipeline
+
+    tcfg = dataclasses.replace(TCFG, in_channels=TCFG.out_channels)
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
+                                   num_inference_steps=4)
+    pipe = CogVideoXVideoToVideoPipeline(pcfg, tcfg, dtype=jnp.float32, strength=0.5)
+    assert pipe.start_index == 2  # 4 * (1 - 0.5)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    prompt = jnp.ones((1, 8, 64))
+    video_lat = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 4, 4, 4))
+    out = pipe(params, prompt, video_lat, rng=jax.random.PRNGKey(1))
+    assert out.shape == (1, 3, 4, 4, 4)
+    assert np.isfinite(out).all()
+    # lower strength preserves more of the input video
+    gentle = CogVideoXVideoToVideoPipeline(pcfg, tcfg, dtype=jnp.float32, strength=0.25)
+    out_g = gentle(params, prompt, video_lat, rng=jax.random.PRNGKey(1))
+    d_strong = float(np.abs(out - np.asarray(video_lat)).mean())
+    d_gentle = float(np.abs(out_g - np.asarray(video_lat)).mean())
+    assert d_gentle < d_strong
+
+
+def test_cogvideox_t2v_train_step_descends():
+    import dataclasses
+
+    from lkgd_tpu.models.cogvideox import CogVideoXTransformer3D
+
+    tcfg = dataclasses.replace(TCFG, in_channels=TCFG.out_channels)
+    model = CogVideoXTransformer3D(tcfg, dtype=jnp.float32)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 4, 4, 4))
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 64))
+    p = model.init(jax.random.PRNGKey(2), latents, prompt, jnp.zeros((1,)))
+    opt = make_optimizer(learning_rate=1e-3)
+    step = jax.jit(make_cogvideox_train_step(model, opt, mode="t2v"))
+    state = init_train_state(p, opt)
+    batch = {"latents": latents, "prompt_embeds": prompt}
+    losses = []
+    k = jax.random.PRNGKey(3)
+    for _ in range(6):
+        state, loss = step(state, batch, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
