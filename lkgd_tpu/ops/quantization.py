@@ -18,9 +18,13 @@ the standard SmoothQuant-free dynamic variant:
     VPU passes over the activations — amortized against the 2x MXU win, which nets
     out positive only for large matmuls; callers gate on shape).
 
-No reference-file analog: the reference serves fp16 (`run_models/*.py`); this is a
-TPU-native extension. Accuracy is validated in tests/test_quantization.py (error bounds
-vs fp32) and end-to-end by bench.py's quantized mode (PSNR vs the bf16 pipeline).
+Reference analog: `CogVideo-main/inference/cli_demo_quantization.py` (torchao int8
+weight-only serving). Accuracy is validated in tests/test_quantization.py (error bounds
+vs fp32). NOT yet wired into a model forward: whether int8 weight storage actually
+halves serving HBM under XLA depends on whether the dequant stays fused into each
+consumer matmul or gets hoisted out of the denoising ``lax.scan`` as a materialized
+bf16 buffer — that must be measured on the real chip (buffer assignment + profile)
+before the wiring is worth its complexity; until then this stays a validated primitive.
 """
 
 from __future__ import annotations
