@@ -44,7 +44,10 @@ def collect(probe_device: bool = True) -> dict:
     info["env:XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "<unset>")
     info["env:LKGD_*"] = {k: v for k, v in os.environ.items()
                           if k.startswith("LKGD_")} or "<none>"
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    # mirror utils/compilation_cache.enable_persistent_cache's resolution exactly:
+    # LKGD_JAX_CACHE, else <repo root>/.jax_cache
+    cache_dir = os.environ.get("LKGD_JAX_CACHE", os.path.join(os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
     info["compilation_cache"] = (
         f"{cache_dir} ({len(os.listdir(cache_dir))} entries)"
         if os.path.isdir(cache_dir) else f"{cache_dir} (absent)")

@@ -115,6 +115,12 @@ def main():
     elif args.generate_type == "v2v":
         frames = process_frames(load_input(args.image)[:args.num_frames],
                                 args.height, args.width)
+        if frames.shape[0] != args.num_frames:
+            # the pipeline is compiled for num_frames; fewer would silently emit a
+            # shorter clip (shape-polymorphic RoPE adapts instead of erroring)
+            raise SystemExit(
+                f"--generate-type v2v needs {args.num_frames} input frames "
+                f"(--num-frames), got {frames.shape[0]} from {args.image}")
         video_latents = encode(vae_params, jnp.asarray(frames[None]) * 2.0 - 1.0)
         latents = pipe(params, prompt_embeds, video_latents, rng=rng)
     else:

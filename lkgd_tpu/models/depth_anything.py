@@ -91,11 +91,6 @@ class Dinov2Layer(nn.Module):
         return x + h * ls2.astype(self.dtype)
 
 
-def _bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """(B, H, W, C) bilinear resize (static target), half-pixel (align_corners=False)."""
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="bilinear")
-
-
 def _ac_matrix(out: int, inp: int):
     """(out, inp) bilinear interpolation matrix with align_corners=True grid."""
     import numpy as np
@@ -160,10 +155,12 @@ class DepthAnything(nn.Module):
         g = cfg.image_size // cfg.patch_size
         patch_pos = pos[:, 1:].reshape(1, g, g, cfg.hidden_size)
         if (ph, pw) != (g, g):
-            # HF Dinov2 interpolate_pos_encoding: BICUBIC, align_corners=False, no
-            # antialias — bilinear/antialiased kernels diverge from the torch oracle
-            patch_pos = jax.image.resize(
-                patch_pos, (1, ph, pw, cfg.hidden_size), "cubic", antialias=False)
+            # HF Dinov2 interpolate_pos_encoding: torch BICUBIC (a=-0.75),
+            # align_corners=False, no antialias. jax.image.resize("cubic") is the Keys
+            # a=-0.5 kernel and does NOT match; ops/resize.bicubic_resize does.
+            from lkgd_tpu.ops.resize import bicubic_resize
+
+            patch_pos = bicubic_resize(patch_pos, (ph, pw))
         x = x + patch_pos.reshape(1, ph * pw, cfg.hidden_size).astype(self.dtype)
         cls = jnp.broadcast_to(cls_tok.astype(self.dtype) + pos[:, :1].astype(self.dtype),
                                (b, 1, cfg.hidden_size))

@@ -72,6 +72,39 @@ def _bicubic_matrix(out_n: int, in_n: int) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=64)
+def _bicubic_matrix_half_pixel(out_n: int, in_n: int) -> np.ndarray:
+    """align_corners=False (half-pixel) bicubic matrix (out_n, in_n) — torch
+    ``F.interpolate(mode="bicubic", align_corners=False)`` / HF Dinov2
+    ``interpolate_pos_encoding`` semantics, a = -0.75, no antialias."""
+    x = (np.arange(out_n, dtype=np.float64) + 0.5) * in_n / out_n - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    t = x - x0
+    w = _cubic_weights(t)  # (out_n, 4)
+    m = np.zeros((out_n, in_n), dtype=np.float64)
+    for k in range(4):
+        src = np.clip(x0 + k - 1, 0, in_n - 1)
+        m[np.arange(out_n), src] += w[:, k]
+    return m.astype(np.float32)
+
+
+def bicubic_resize(images: jnp.ndarray, size) -> jnp.ndarray:
+    """(..., H, W, C) -> (..., size[0], size[1], C): torch-parity bicubic
+    (a=-0.75, half-pixel/align_corners=False, NO antialias) as two matmuls.
+    jax.image.resize("cubic") uses the Keys a=-0.5 kernel and so does NOT match
+    torch oracles; this does (tests/test_resize.py)."""
+    out_h, out_w = size
+    in_h, in_w = images.shape[-3], images.shape[-2]
+    if (in_h, in_w) == (out_h, out_w):
+        return images
+    m_h = jnp.asarray(_bicubic_matrix_half_pixel(out_h, in_h))
+    m_w = jnp.asarray(_bicubic_matrix_half_pixel(out_w, in_w))
+    x = images.astype(jnp.float32)
+    x = jnp.einsum("oh,...hwc->...owc", m_h, x)
+    x = jnp.einsum("ow,...hwc->...hoc", m_w, x)
+    return x.astype(images.dtype)
+
+
 @functools.lru_cache(maxsize=32)
 def _resize_matrices(in_h: int, in_w: int, out_h: int, out_w: int):
     factors = (in_h / out_h, in_w / out_w)

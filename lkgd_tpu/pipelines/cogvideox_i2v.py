@@ -81,99 +81,14 @@ class CogVideoXImageToVideoPipeline:
         return {"transformer": self.transformer.init(
             rng, latents, prompt, jnp.zeros((2,)), domain_features=dom, flow_features=dom)}
 
-    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, image_latents,
-                       rng, domain_features=None, flow_features=None):
-        cfg = self.config
-        b = prompt_embeds.shape[0]
-        f = cfg.latent_frames
+    def _denoise(self, params, prompt_embeds, negative_prompt_embeds, rng, img=None,
+                 domain_features=None, flow_features=None, init_latents=None,
+                 start_index: int = 0):
+        """The shared DDIM loop: CFG doubling + dynamic guidance + ``lax.scan``.
 
-        latents = jax.random.normal(
-            rng, (b, f, cfg.latent_height, cfg.latent_width,
-                  self.transformer.config.out_channels), jnp.float32)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            axes = [None] * latents.ndim
-            if "data" in self.mesh.axis_names and latents.shape[0] % self.mesh.shape["data"] == 0:
-                axes[0] = "data"
-            if "context" in self.mesh.axis_names and f % self.mesh.shape["context"] == 0:
-                axes[1] = "context"
-            latents = jax.lax.with_sharding_constraint(
-                latents, NamedSharding(self.mesh, P(*axes)))
-
-        # image conditioning: first-frame latents, zeros for the rest (I2V)
-        img = jnp.concatenate([
-            image_latents[:, None],
-            jnp.zeros((b, f - 1) + image_latents.shape[1:], image_latents.dtype)], axis=1)
-
-        do_cfg = cfg.guidance_scale > 1.0
-        if do_cfg:
-            ctx = jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
-            img_rows = jnp.concatenate([img, img], axis=0)
-        else:
-            ctx = prompt_embeds
-            img_rows = img
-        ctx = ctx.astype(self.dtype)
-        img_rows = img_rows.astype(self.dtype)
-
-        schedule, scheduler = self.schedule, self.scheduler
-        n = schedule.num_steps
-
-        def step_fn(latents, i):
-            t = schedule.timesteps[i]
-            model_in = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
-            model_in = jnp.concatenate([model_in.astype(self.dtype), img_rows], axis=-1)
-            pred = self.transformer.apply(
-                params["transformer"], model_in, ctx,
-                jnp.full((model_in.shape[0],), t, jnp.float32),
-                domain_features=domain_features, flow_features=flow_features,
-            ).astype(jnp.float32)
-            if do_cfg:
-                uncond, cond = jnp.split(pred, 2, axis=0)
-                if cfg.use_dynamic_cfg:  # reference pipeline dynamic cfg (1 + g*(...cos ramp))
-                    g = 1.0 + (cfg.guidance_scale - 1.0) * (
-                        (1.0 - jnp.cos(jnp.pi * ((n - i.astype(jnp.float32)) / n) ** 5.0)) / 2.0)
-                else:
-                    g = cfg.guidance_scale
-                pred = uncond + g * (cond - uncond)
-            latents, _ = scheduler.step(schedule, pred, i, latents)
-            return latents, ()
-
-        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(n))
-        return latents
-
-    def __call__(self, params, prompt_embeds, image_latents, negative_prompt_embeds=None,
-                 rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        prompt_embeds = jnp.asarray(prompt_embeds)
-        if negative_prompt_embeds is None:
-            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
-        return np.asarray(self._generate(params, prompt_embeds, negative_prompt_embeds,
-                                         jnp.asarray(image_latents), rng,
-                                         domain_features, flow_features))
-
-
-class CogVideoXTextToVideoPipeline(CogVideoXImageToVideoPipeline):
-    """Latent-level T2V generation (reference CogVideoXPipeline,
-    `CogVideo-main/inference/cli_demo.py:122`): the I2V loop without the channel-
-    concatenated image condition — transformer ``in_channels`` must equal
-    ``out_channels`` (16 for CogVideoX-2B/5B T2V checkpoints)."""
-
-    def init_params(self, rng: jax.Array) -> dict:
-        cfg, tcfg = self.config, self.transformer.config
-        latents = jnp.zeros((2, cfg.latent_frames, cfg.latent_height, cfg.latent_width,
-                             tcfg.in_channels), self.dtype)
-        prompt = jnp.zeros((2, tcfg.max_text_seq_length, tcfg.text_embed_dim), self.dtype)
-        dom = jnp.zeros((2, 1, 1000), self.dtype)
-        return {"transformer": self.transformer.init(
-            rng, latents, prompt, jnp.zeros((2,)), domain_features=dom, flow_features=dom)}
-
-    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, rng,
-                       domain_features=None, flow_features=None,
-                       init_latents=None, start_index: int = 0):
-        """``init_latents``/``start_index`` implement the V2V (SDEdit) entry: denoising
-        starts from the given noised latents at ``schedule.timesteps[start_index]``."""
+        ``img``: optional (B, F, h, w, C) channel-concatenated condition (I2V).
+        ``init_latents``/``start_index``: start mid-schedule from given noised latents
+        (V2V SDEdit) instead of pure noise at step 0."""
         cfg = self.config
         b = prompt_embeds.shape[0]
         f = cfg.latent_frames
@@ -198,21 +113,28 @@ class CogVideoXTextToVideoPipeline(CogVideoXImageToVideoPipeline):
         do_cfg = cfg.guidance_scale > 1.0
         ctx = (jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
                if do_cfg else prompt_embeds).astype(self.dtype)
+        img_rows = None
+        if img is not None:
+            img_rows = (jnp.concatenate([img, img], axis=0)
+                        if do_cfg else img).astype(self.dtype)
 
         schedule, scheduler = self.schedule, self.scheduler
         n = schedule.num_steps
 
         def step_fn(latents, i):
             t = schedule.timesteps[i]
-            model_in = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
+            model_in = (jnp.concatenate([latents] * 2, axis=0)
+                        if do_cfg else latents).astype(self.dtype)
+            if img_rows is not None:
+                model_in = jnp.concatenate([model_in, img_rows], axis=-1)
             pred = self.transformer.apply(
-                params["transformer"], model_in.astype(self.dtype), ctx,
+                params["transformer"], model_in, ctx,
                 jnp.full((model_in.shape[0],), t, jnp.float32),
                 domain_features=domain_features, flow_features=flow_features,
             ).astype(jnp.float32)
             if do_cfg:
                 uncond, cond = jnp.split(pred, 2, axis=0)
-                if cfg.use_dynamic_cfg:
+                if cfg.use_dynamic_cfg:  # reference pipeline dynamic cfg (1 + g*(...cos ramp))
                     g = 1.0 + (cfg.guidance_scale - 1.0) * (
                         (1.0 - jnp.cos(jnp.pi * ((n - i.astype(jnp.float32)) / n) ** 5.0)) / 2.0)
                 else:
@@ -223,6 +145,49 @@ class CogVideoXTextToVideoPipeline(CogVideoXImageToVideoPipeline):
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(start_index, n))
         return latents
+
+    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, image_latents,
+                       rng, domain_features=None, flow_features=None):
+        # image conditioning: first-frame latents, zeros for the rest (I2V)
+        b, f = prompt_embeds.shape[0], self.config.latent_frames
+        img = jnp.concatenate([
+            image_latents[:, None],
+            jnp.zeros((b, f - 1) + image_latents.shape[1:], image_latents.dtype)], axis=1)
+        return self._denoise(params, prompt_embeds, negative_prompt_embeds, rng, img=img,
+                             domain_features=domain_features, flow_features=flow_features)
+
+    def __call__(self, params, prompt_embeds, image_latents, negative_prompt_embeds=None,
+                 rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        prompt_embeds = jnp.asarray(prompt_embeds)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return np.asarray(self._generate(params, prompt_embeds, negative_prompt_embeds,
+                                         jnp.asarray(image_latents), rng,
+                                         domain_features, flow_features))
+
+
+class CogVideoXTextToVideoPipeline(CogVideoXImageToVideoPipeline):
+    """Latent-level T2V generation (reference CogVideoXPipeline,
+    `CogVideo-main/inference/cli_demo.py:122`): the I2V loop without the channel-
+    concatenated image condition — transformer ``in_channels`` must equal
+    ``out_channels`` (16 for CogVideoX-2B/5B T2V checkpoints)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        tcfg = self.transformer.config
+        if tcfg.in_channels != tcfg.out_channels:
+            # fail at construction, not as a shape error deep inside the jitted loop
+            raise ValueError(
+                f"T2V/V2V take bare noise latents: transformer in_channels "
+                f"({tcfg.in_channels}) must equal out_channels ({tcfg.out_channels}); "
+                f"use dataclasses.replace(cfg, in_channels=cfg.out_channels)")
+
+    def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, rng,
+                       domain_features=None, flow_features=None):
+        return self._denoise(params, prompt_embeds, negative_prompt_embeds, rng,
+                             domain_features=domain_features, flow_features=flow_features)
 
     def __call__(self, params, prompt_embeds, negative_prompt_embeds=None,
                  rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):
@@ -255,9 +220,9 @@ class CogVideoXVideoToVideoPipeline(CogVideoXTextToVideoPipeline):
         noise = jax.random.normal(rng, video_latents.shape, jnp.float32)
         t0 = jnp.full((video_latents.shape[0],), self.schedule.timesteps[self.start_index])
         init = self.scheduler.add_noise(video_latents.astype(jnp.float32), noise, t0)
-        return self._generate_impl(params, prompt_embeds, negative_prompt_embeds, rng,
-                                   domain_features, flow_features,
-                                   init_latents=init, start_index=self.start_index)
+        return self._denoise(params, prompt_embeds, negative_prompt_embeds, rng,
+                             domain_features=domain_features, flow_features=flow_features,
+                             init_latents=init, start_index=self.start_index)
 
     def __call__(self, params, prompt_embeds, video_latents, negative_prompt_embeds=None,
                  rng: Optional[jax.Array] = None, domain_features=None, flow_features=None):

@@ -10,9 +10,11 @@ long-sequence scaling mechanism (SURVEY.md §5 "long-context").
 
 TPU re-design of the dynamic chunking: instead of Python-varying chunk lists (a recompile
 per step), the sequence is placed into a fixed ``n_chunks * chunk`` buffer at a traced
-front offset (lax.dynamic_update_slice); all chunks run in ONE batched UNet call
-(rows stream-major: [fwd*, bwd*, fwd_c*, bwd_c*] -> joint mask (0,1,0,1)); padded frames
-are masked out of the stitch. One compile, identical semantics.
+front offset via a clamped gather — out-of-range positions replicate the clip's edge
+frames (approximating the reference's shorter boundary chunks; see the in-loop comment
+for why zero fill is numerically hostile). All chunks run in ONE batched UNet call
+(rows stream-major: [fwd*, bwd*, fwd_c*, bwd_c*] -> joint mask (0,1,0,1)); the padded
+positions' noise predictions are sliced off before the global Euler step. One compile.
 """
 
 from __future__ import annotations

@@ -87,3 +87,24 @@ def test_registry_processor():
     out = cp.control_preprocess(frames, "depth")
     assert out.shape == frames.shape
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_matches_hf_torch_oracle_non_native_size():
+    """Inputs off the native grid exercise interpolate_pos_encoding — the bicubic
+    a=-0.75 half-pixel path (ops/resize.bicubic_resize) must match HF Dinov2."""
+    hf, cfg = _tiny_pair()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = port_depth_anything(state, cfg)
+
+    r = np.random.default_rng(1)
+    h = cfg.image_size + 2 * cfg.patch_size   # different patch grid than native
+    w = cfg.image_size - cfg.patch_size
+    img = r.uniform(size=(1, h, w, 3)).astype(np.float32)
+    pix = np.asarray(normalize_pixels(jnp.asarray(img)))
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(pix.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+
+    out = np.asarray(jax.jit(DepthAnything(cfg).apply)(params, jnp.asarray(pix)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -53,3 +53,20 @@ def test_matches_torch(in_shape, size):
 def test_identity_when_same_size():
     x = jnp.ones((1, 8, 8, 3))
     assert resize_with_antialiasing(x, (8, 8)) is x
+
+
+@pytest.mark.parametrize("in_shape,size", [((1, 3, 37, 37), (24, 24)),   # downscale
+                                           ((2, 3, 16, 20), (34, 27))])  # upscale
+def test_bicubic_half_pixel_matches_torch(in_shape, size):
+    """bicubic_resize = torch F.interpolate(mode='bicubic', align_corners=False,
+    antialias=False) — the HF Dinov2 interpolate_pos_encoding kernel (a=-0.75)."""
+    import torch
+
+    from lkgd_tpu.ops.resize import bicubic_resize
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=in_shape).astype(np.float32)
+    want = torch.nn.functional.interpolate(torch.from_numpy(x), size=size,
+                                           mode="bicubic", align_corners=False).numpy()
+    got = np.asarray(bicubic_resize(jnp.asarray(x.transpose(0, 2, 3, 1)), size))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-5)

@@ -65,11 +65,18 @@ def main():
             print(f"{kind}: memory_analysis unavailable ({e})")
         if kind == "int8":
             hlo = compiled.as_text()
-            # a convert of the full (C, F) weight OUTSIDE the while body = hoisted
-            body_start = hlo.find("while")
-            pre = hlo[:body_start if body_start > 0 else len(hlo)]
-            hoisted = re.search(rf"convert.*s8\[{C},{F}\]", pre) is not None or \
-                re.search(rf"bf16\[{C},{F}\][^\n]*multiply", pre) is not None
+            # hoisted = the full-weight dequant (convert of s8[C,F] or a bf16[C,F]
+            # multiply) executes in the ENTRY computation, i.e. outside the while body.
+            # HLO text prints every computation (fusion bodies, while body/cond) as its
+            # own block BEFORE/AFTER entry, so scoping to the ENTRY block — not "text
+            # before the word 'while'" — is what distinguishes inside from outside.
+            m_entry = re.search(r"^ENTRY [^\n]*\{(.*?)^\}", hlo, re.S | re.M)
+            entry = m_entry.group(1) if m_entry else hlo
+            hoisted = (re.search(rf"convert[^\n]*s8\[{C},{F}\]", entry) is not None
+                       or re.search(rf"bf16\[{C},{F}\][^\n]*multiply", entry) is not None
+                       # hoisted-and-fused variant: a fusion producing the full bf16
+                       # weight called from ENTRY
+                       or re.search(rf"bf16\[{C},{F}\][^\n]*fusion", entry) is not None)
             print("int8 dequant HOISTED out of the loop (win lost)" if hoisted
                   else "int8 dequant stays inside the loop body (HBM win plausible)")
 
