@@ -278,10 +278,29 @@ def bench_cogvideox(reps):
             _time(lambda: fwd(params, sample, text, timestep), reps, "cogvideox"))
 
 
+def _require_device(timeout_s: float = 180.0) -> None:
+    """Fail fast (rc=1) if the backend hangs or is CPU: a dead device tunnel would
+    otherwise hang jax.devices() indefinitely, and a silent CPU fallback would report a
+    meaningless number as the headline metric."""
+    import threading
+
+    result = []
+    t = threading.Thread(target=lambda: result.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not result:
+        raise SystemExit(f"bench: device backend did not initialize within {timeout_s:.0f}s "
+                         "(device tunnel down?) — refusing to benchmark")
+    if result[0][0].platform == "cpu" and not os.environ.get("LKGD_BENCH_ALLOW_CPU"):
+        raise SystemExit("bench: default backend is CPU — the headline metric is a device "
+                         "number; set LKGD_BENCH_ALLOW_CPU=1 to force")
+
+
 def main():
     from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    _require_device()
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))
     reps = int(os.environ.get("LKGD_BENCH_REPS", "3"))
     which = os.environ.get("LKGD_BENCH_PIPELINE", "base")
