@@ -157,15 +157,86 @@ def build_generate_fn(pipe, params, mode: str) -> Callable:
     return generate
 
 
+def build_cogvideox_generate_fn(args) -> Callable:
+    """CogVideoX I2V behind the same demo surface (the reference
+    `CogVideo-main/gradio_composite_demo` analog): start frame -> video; the
+    motion-bucket control is SVD-specific and ignored. Text conditioning comes from
+    --prompt-embeds (precomputed T5) or zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from lkgd_tpu.data.video_io import process_frames
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig
+    from lkgd_tpu.models.vae_cogvideox import AutoencoderKLCogVideoX, CogVideoXVAEConfig
+    from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXImageToVideoPipeline,
+                                                  CogVideoXPipelineConfig)
+
+    tcfg = CogVideoXConfig.tiny() if args.tiny else CogVideoXConfig.cogvideox_5b_i2v()
+    vcfg = CogVideoXVAEConfig.tiny() if args.tiny else CogVideoXVAEConfig()
+    pcfg = CogVideoXPipelineConfig(
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        vae_scale_factor_spatial=2 ** (len(vcfg.block_out_channels) - 1))
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    pipe = CogVideoXImageToVideoPipeline(config=pcfg, transformer_config=tcfg, dtype=dtype)
+    vae = AutoencoderKLCogVideoX(vcfg, dtype=dtype)
+    params = jax.jit(pipe.init_params)(jax.random.PRNGKey(0))
+    vae_params = vae.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 1, args.height, args.width, 3)))
+    if args.weights:
+        from lkgd_tpu.utils import porting
+
+        t_path = os.path.join(args.weights, "transformer.safetensors")
+        if os.path.exists(t_path):
+            params["transformer"] = porting.port_cogvideox(
+                porting.load_safetensors(t_path), params["transformer"], strict=False)
+        v_path = os.path.join(args.weights, "vae_3d.safetensors")
+        if os.path.exists(v_path):
+            vae_params = porting.port_state_dict(
+                porting.load_safetensors(v_path), vae_params, strict=False)
+    if getattr(args, "prompt_embeds", None):
+        emb = np.load(args.prompt_embeds)
+        prompt_embeds = jnp.asarray(emb if emb.ndim == 3 else emb[None])
+    else:
+        prompt_embeds = jnp.zeros((1, tcfg.max_text_seq_length, tcfg.text_embed_dim))
+
+    @jax.jit
+    def encode(vp, img):
+        lat = vae.apply(vp, img, method=AutoencoderKLCogVideoX.encode_mode)
+        return lat[:, 0] * vcfg.scaling_factor
+
+    @jax.jit
+    def decode(vp, z):
+        frames = vae.apply(vp, z / vcfg.scaling_factor,
+                           method=AutoencoderKLCogVideoX.decode)
+        return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+    def generate(start, end, seed, motion_bucket_id, fps):
+        del end, motion_bucket_id  # SVD-specific controls
+        img = process_frames(start[None], args.height, args.width)[0]
+        image_latents = encode(vae_params, jnp.asarray(img[None, None]) * 2.0 - 1.0)
+        latents = pipe(params, prompt_embeds, image_latents,
+                       rng=jax.random.PRNGKey(seed))
+        video = np.asarray(decode(vae_params, jnp.asarray(latents)))[0]
+        return (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
+
+    return generate
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["base", "trans"], default="base")
+    p.add_argument("--mode", choices=["base", "trans", "cogvideox"], default="base")
     p.add_argument("--weights")
+    p.add_argument("--prompt-embeds", help="cogvideox: .npy T5 embeddings")
+    p.add_argument("--tiny", action="store_true", help="cogvideox: tiny smoke config")
     p.add_argument("--height", type=int, default=576)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--num-frames", type=int, default=14)
     p.add_argument("--port", type=int, default=7860)
     args = p.parse_args()
+
+    if args.mode == "cogvideox":
+        serve(build_cogvideox_generate_fn(args), args.mode, args.port)
+        return
 
     from lkgd_tpu.cli.gradio_demo import build_cli_config
     from lkgd_tpu.cli.run_inference_svd import build_pipeline, load_params

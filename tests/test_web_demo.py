@@ -66,3 +66,16 @@ def test_generate_error_surfaces(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 500
+
+
+def test_cogvideox_generate_fn_tiny():
+    """The CogVideoX demo adapter (composite-demo analog) produces a uint8 video from a
+    start frame on the tiny config end to end."""
+    import argparse
+
+    args = argparse.Namespace(tiny=True, weights=None, prompt_embeds=None,
+                              height=32, width=32, num_frames=9)
+    gen = web_demo.build_cogvideox_generate_fn(args)
+    start = np.random.default_rng(3).uniform(size=(40, 40, 3)).astype(np.float32)
+    video = gen(start, None, seed=5, motion_bucket_id=127, fps=8)
+    assert video.shape == (9, 32, 32, 3) and video.dtype == np.uint8
