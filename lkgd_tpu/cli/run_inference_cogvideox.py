@@ -42,7 +42,28 @@ def main():
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke/testing)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh", help="SPMD mesh axes as axis=size list, e.g. 'model=4' or "
+                   "'data=2,context=2,model=2'. 'model' shards the transformer weights "
+                   "(tensor parallel), 'context' shards video tokens (xDiT analog), "
+                   "'data' shards the CFG batch.")
+    p.add_argument("--weight-sharding", choices=["tp", "fsdp"], default="tp",
+                   help="how to shard weights over the mesh 'model' axis: megatron-style "
+                   "tensor parallel (activation collectives) or fsdp (weights "
+                   "all-gathered at use; pure memory scaling)")
+    p.add_argument("--sequence-parallel", choices=["none", "ulysses", "ring"],
+                   default="none",
+                   help="sequence-parallel attention over the mesh 'context' axis "
+                   "(reference parallel_inference_xdit.py analog)")
     args = p.parse_args()
+
+    mesh = None
+    if args.mesh:
+        from lkgd_tpu.parallel.mesh import make_mesh
+
+        axes = {k: int(v) for k, v in (kv.split("=") for kv in args.mesh.split(","))}
+        mesh = make_mesh(axes)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"on {mesh.devices.size} {mesh.devices.flat[0].platform} devices")
 
     from lkgd_tpu.data.video_io import load_input, process_frames, write_video
     from lkgd_tpu.models.cogvideox import CogVideoXConfig
@@ -62,12 +83,16 @@ def main():
     if args.generate_type in ("t2v", "v2v"):
         # T2V checkpoints have no image-condition channels (reference cli_demo.py:122)
         tcfg = dataclasses.replace(tcfg, in_channels=tcfg.out_channels)
+    if args.sequence_parallel != "none":
+        if mesh is None or "context" not in mesh.axis_names:
+            p.error("--sequence-parallel needs --mesh with a 'context' axis")
+        tcfg = dataclasses.replace(tcfg, sequence_parallel=args.sequence_parallel)
     vcfg = CogVideoXVAEConfig.tiny() if args.tiny else CogVideoXVAEConfig()
     pcfg = CogVideoXPipelineConfig(
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
         vae_scale_factor_spatial=2 ** (len(vcfg.block_out_channels) - 1))
-    kw = dict(config=pcfg, transformer_config=tcfg, dtype=jnp.bfloat16)
+    kw = dict(config=pcfg, transformer_config=tcfg, dtype=jnp.bfloat16, mesh=mesh)
     if args.generate_type == "t2v":
         pipe = CogVideoXTextToVideoPipeline(**kw)
     elif args.generate_type == "v2v":
@@ -97,6 +122,20 @@ def main():
             sd, params["transformer"], adapter_name="lora")
         print(f"merged LoRA from {args.lora}")
 
+    if mesh is not None:
+        from lkgd_tpu.parallel import tp as tplib
+        from lkgd_tpu.parallel.mesh import replicated
+
+        if "model" in mesh.axis_names:
+            specs = (tplib.cogvideox_tp_specs(params) if args.weight_sharding == "tp"
+                     else tplib.fsdp_specs(params, axis_size=mesh.shape["model"]))
+            params = tplib.shard_params(mesh, params, specs)
+        else:
+            params = jax.device_put(params, replicated(mesh))
+        vae_params = jax.device_put(vae_params, replicated(mesh))
+        print(f"transformer bytes/device: "
+              f"{tplib.per_device_param_bytes(params) / 2**20:.0f} MiB")
+
     @jax.jit
     def encode(vp, img):
         lat = vae.apply(vp, img, method=AutoencoderKLCogVideoX.encode_mode)
@@ -109,7 +148,27 @@ def main():
         print("no --prompt-embeds: zero T5 embeddings (smoke mode)")
         prompt_embeds = jnp.zeros((1, tcfg.max_text_seq_length, tcfg.text_embed_dim))
 
+    import contextlib
+
     rng = jax.random.PRNGKey(args.seed)
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with mesh_ctx:
+        latents = _generate(args, pipe, params, vae_params, encode, prompt_embeds, rng)
+
+        @jax.jit
+        def decode(vp, z):
+            frames = vae.apply(vp, jnp.asarray(z) / vcfg.scaling_factor,
+                               method=AutoencoderKLCogVideoX.decode)
+            return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        video = np.asarray(decode(vae_params, latents))
+    write_video(args.output, video[0], fps=args.fps)
+    print(f"wrote {args.output}: {video[0].shape}")
+
+
+def _generate(args, pipe, params, vae_params, encode, prompt_embeds, rng):
+    from lkgd_tpu.data.video_io import load_input, process_frames
+
     if args.generate_type == "t2v":
         latents = pipe(params, prompt_embeds, rng=rng)
     elif args.generate_type == "v2v":
@@ -128,16 +187,7 @@ def main():
         image_latents = encode(vae_params,
                                jnp.asarray(image[None, None]) * 2.0 - 1.0)[:, 0]
         latents = pipe(params, prompt_embeds, image_latents, rng=rng)
-
-    @jax.jit
-    def decode(vp, z):
-        frames = vae.apply(vp, jnp.asarray(z) / vcfg.scaling_factor,
-                           method=AutoencoderKLCogVideoX.decode)
-        return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
-
-    video = np.asarray(decode(vae_params, latents))
-    write_video(args.output, video[0], fps=args.fps)
-    print(f"wrote {args.output}: {video[0].shape}")
+    return latents
 
 
 if __name__ == "__main__":
