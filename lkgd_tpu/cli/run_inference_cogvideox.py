@@ -50,6 +50,11 @@ def main():
                    help="how to shard weights over the mesh 'model' axis: megatron-style "
                    "tensor parallel (activation collectives) or fsdp (weights "
                    "all-gathered at use; pure memory scaling)")
+    p.add_argument("--vae-tiling", action="store_true",
+                   help="spatially tiled VAE decode (reference cli_demo.py "
+                   "vae.enable_tiling()): bounds decode HBM by the tile, not the frame")
+    p.add_argument("--vae-tile-latent", type=int, nargs=2, default=(60, 90),
+                   metavar=("H", "W"), help="latent tile size for --vae-tiling")
     p.add_argument("--sequence-parallel", choices=["none", "ulysses", "ring"],
                    default="none",
                    help="sequence-parallel attention over the mesh 'context' axis "
@@ -155,13 +160,23 @@ def main():
     with mesh_ctx:
         latents = _generate(args, pipe, params, vae_params, encode, prompt_embeds, rng)
 
-        @jax.jit
-        def decode(vp, z):
-            frames = vae.apply(vp, jnp.asarray(z) / vcfg.scaling_factor,
-                               method=AutoencoderKLCogVideoX.decode)
-            return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        if args.vae_tiling:
+            from lkgd_tpu.models.vae_cogvideox import tiled_decode
 
-        video = np.asarray(decode(vae_params, latents))
+            frames = tiled_decode(vae, vae_params,
+                                  jnp.asarray(latents) / vcfg.scaling_factor,
+                                  tile_latent_height=args.vae_tile_latent[0],
+                                  tile_latent_width=args.vae_tile_latent[1])
+            video = np.asarray(jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5,
+                                        0.0, 1.0))
+        else:
+            @jax.jit
+            def decode(vp, z):
+                frames = vae.apply(vp, jnp.asarray(z) / vcfg.scaling_factor,
+                                   method=AutoencoderKLCogVideoX.decode)
+                return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+            video = np.asarray(decode(vae_params, latents))
     write_video(args.output, video[0], fps=args.fps)
     print(f"wrote {args.output}: {video[0].shape}")
 

@@ -29,12 +29,13 @@ def build_mesh(args):
     """Multi-chip SPMD (the xDiT Ulysses/ring + CFG-parallel analog,
     reference parallel_inference_xdit.py:14-51): CFG/batch rows shard over 'data',
     latent frames over 'context'; XLA inserts the ICI collectives."""
-    if args.data_parallel * args.context_parallel <= 1:
+    if args.data_parallel * args.context_parallel * args.model_parallel <= 1:
         return None
     from lkgd_tpu.parallel import mesh as meshlib
 
-    return meshlib.make_mesh({"data": args.data_parallel,
-                              "context": args.context_parallel})
+    axes = {"data": args.data_parallel, "context": args.context_parallel,
+            "model": args.model_parallel}
+    return meshlib.make_mesh({k: v for k, v in axes.items() if v > 1} or None)
 
 
 def build_pipeline(args):
@@ -153,6 +154,9 @@ def main():
                    help="mesh 'data' axis size (CFG/batch shard; xDiT cfg-parallel analog)")
     p.add_argument("--context-parallel", type=int, default=1,
                    help="mesh 'context' axis size (frame shard; Ulysses/ring analog)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="mesh 'model' axis size: FSDP-style weight sharding "
+                   "(parallel/tp.py fsdp_specs) — each chip holds ~1/N of the params")
     p.add_argument("--smooth-start-step", type=int, default=10)
     p.add_argument("--smooth-total-frames", type=int, default=50)
     args = p.parse_args()
@@ -161,6 +165,14 @@ def main():
 
     pipe = build_pipeline(args)
     params = load_params(pipe, args)
+    if pipe.mesh is not None and "model" in pipe.mesh.axis_names:
+        from lkgd_tpu.parallel import tp as tplib
+
+        params = tplib.shard_params(
+            pipe.mesh, params,
+            tplib.fsdp_specs(params, axis_size=pipe.mesh.shape["model"]))
+        print(f"FSDP weight sharding over model={pipe.mesh.shape['model']}: "
+              f"{tplib.per_device_param_bytes(params) / 2**20:.0f} MiB/device")
 
     frames = load_input(args.image)
     image = process_frames(frames[:1], args.height, args.width)[0]

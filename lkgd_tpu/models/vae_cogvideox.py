@@ -168,3 +168,72 @@ class AutoencoderKLCogVideoX(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.decode(self.encode_mode(x))
+
+
+def _blend_ramp(n: int, dtype) -> jnp.ndarray:
+    """0..1 linear ramp of length n (diffusers AutoencoderKLCogVideoX.blend_v/h:
+    b[y] = a[-n+y] * (1 - y/n) + b[y] * (y/n))."""
+    return (jnp.arange(n, dtype=dtype) / n)
+
+
+def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
+                 tile_latent_height: int = 60, tile_latent_width: int = 90,
+                 overlap: float = 0.25) -> jnp.ndarray:
+    """Spatially tiled decode — the reference's ``vae.enable_tiling()`` serving path
+    (diffusers AutoencoderKLCogVideoX.tiled_decode, used by the reference
+    ``CogVideo-main/inference/cli_demo.py:164``): the latent grid is decoded in
+    overlapping tiles and seams are hidden with linear blend ramps, bounding peak
+    activation HBM by the tile size instead of the full frame.
+
+    All tiles share one shape, so XLA compiles the decoder ONCE and the Python tile
+    loop replays it (right/bottom edge tiles are index-shifted inward, never shrunk —
+    the overlap blending absorbs the duplicated strip).
+    """
+    b, t, h, w, c = z.shape
+    th, tw = min(tile_latent_height, h), min(tile_latent_width, w)
+    # output scale factors, probed from the config (spatial 2x per level below the top)
+    s = 2 ** (len(vae.config.block_out_channels) - 1)
+    stride_h = max(1, int(th * (1 - overlap)))
+    stride_w = max(1, int(tw * (1 - overlap)))
+    blend_h = (th - stride_h) * s  # output-pixel blend extents
+    blend_w = (tw - stride_w) * s
+
+    starts_h = list(range(0, max(h - th, 0) + 1, stride_h))
+    if starts_h[-1] + th < h:
+        starts_h.append(h - th)
+    starts_w = list(range(0, max(w - tw, 0) + 1, stride_w))
+    if starts_w[-1] + tw < w:
+        starts_w.append(w - tw)
+
+    decode = jax.jit(lambda p, zt: vae.apply(
+        p, zt, method=AutoencoderKLCogVideoX.decode))
+
+    t_out = None
+    out = None
+    for i in starts_h:
+        row = None
+        for j in starts_w:
+            tile = decode(params, z[:, :, i:i + th, j:j + tw])
+            t_out = tile.shape[1]
+            if row is None:
+                row = tile
+            else:
+                # horizontal blend: the strip's right edge fades into the tile's left
+                ov = row.shape[3] - j * s  # overlap width in output pixels
+                ramp = _blend_ramp(ov, tile.dtype)[None, None, None, :, None]
+                blended = (row[:, :, :, row.shape[3] - ov:] * (1 - ramp)
+                           + tile[:, :, :, :ov] * ramp)
+                row = jnp.concatenate(
+                    [row[:, :, :, :row.shape[3] - ov], blended, tile[:, :, :, ov:]],
+                    axis=3)
+        if out is None:
+            out = row
+        else:
+            ov = out.shape[2] - i * s  # overlap height in output pixels
+            ramp = _blend_ramp(ov, row.dtype)[None, None, :, None, None]
+            blended = (out[:, :, out.shape[2] - ov:] * (1 - ramp)
+                       + row[:, :, :ov] * ramp)
+            out = jnp.concatenate(
+                [out[:, :, :out.shape[2] - ov], blended, row[:, :, ov:]], axis=2)
+    assert out.shape == (b, t_out, h * s, w * s, vae.config.out_channels), out.shape
+    return out

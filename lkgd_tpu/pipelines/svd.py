@@ -264,7 +264,20 @@ class StableVideoDiffusionPipeline:
             return self.vae.apply(vae_params, zc, chunk,
                                   method=AutoencoderKLTemporalDecoder.decode)
 
-        frames = jax.lax.map(dec, z)
+        n_chunks = z.shape[0]
+        if (self.mesh is not None and "context" in self.mesh.axis_names
+                and n_chunks % self.mesh.shape["context"] == 0 and n_chunks > 1):
+            # chunks decode in PARALLEL across the mesh context axis (each device
+            # decodes n_chunks/ctx chunks at once) instead of the sequential
+            # one-chip lax.map — the reference's decode_chunk_size loop has no
+            # multi-GPU analog; on a v5e-8 this divides decode wall-clock by ctx
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            z = jax.lax.with_sharding_constraint(
+                z, NamedSharding(self.mesh, P("context")))
+            frames = jax.vmap(dec)(z)
+        else:
+            frames = jax.lax.map(dec, z)
         frames = frames.reshape(b, t, cfg.height, cfg.width, 3)
         return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
