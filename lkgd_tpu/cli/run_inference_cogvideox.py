@@ -55,6 +55,9 @@ def main():
                    "vae.enable_tiling()): bounds decode HBM by the tile, not the frame")
     p.add_argument("--vae-tile-latent", type=int, nargs=2, default=(60, 90),
                    metavar=("H", "W"), help="latent tile size for --vae-tiling")
+    p.add_argument("--vae-chunk-frames", type=int, default=0,
+                   help="streaming decode in N-latent-frame chunks with exact conv "
+                   "caches (diffusers frame batching analog); 0 = whole clip")
     p.add_argument("--sequence-parallel", choices=["none", "ulysses", "ring"],
                    default="none",
                    help="sequence-parallel attention over the mesh 'context' axis "
@@ -160,13 +163,19 @@ def main():
     with mesh_ctx:
         latents = _generate(args, pipe, params, vae_params, encode, prompt_embeds, rng)
 
-        if args.vae_tiling:
-            from lkgd_tpu.models.vae_cogvideox import tiled_decode
+        if args.vae_tiling or args.vae_chunk_frames:
+            from lkgd_tpu.models.vae_cogvideox import chunked_decode, tiled_decode
 
-            frames = tiled_decode(vae, vae_params,
-                                  jnp.asarray(latents) / vcfg.scaling_factor,
-                                  tile_latent_height=args.vae_tile_latent[0],
-                                  tile_latent_width=args.vae_tile_latent[1])
+            zlat = jnp.asarray(latents) / vcfg.scaling_factor
+            if args.vae_tiling:
+                frames = tiled_decode(
+                    vae, vae_params, zlat,
+                    tile_latent_height=args.vae_tile_latent[0],
+                    tile_latent_width=args.vae_tile_latent[1],
+                    chunk_latent_frames=args.vae_chunk_frames or None)
+            else:
+                frames = chunked_decode(vae, vae_params, zlat,
+                                        chunk_latent_frames=args.vae_chunk_frames)
             video = np.asarray(jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5,
                                         0.0, 1.0))
         else:

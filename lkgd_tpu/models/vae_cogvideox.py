@@ -13,6 +13,7 @@ frame is never temporally compressed — the causal convs see it alone).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import flax.linen as nn
@@ -40,7 +41,15 @@ class CogVideoXVAEConfig:
 
 class CausalConv3d(nn.Module):
     """3D conv with causal temporal padding: the time axis is front-padded with the first
-    frame (replicate) so frame t never sees the future."""
+    frame (replicate) so frame t never sees the future.
+
+    ``cache_mode`` enables chunked streaming decode (the diffusers conv-cache /
+    "fake context parallel" frame batching the reference serves with):
+      * None    — whole-clip call, no cache touched
+      * "first" — replicate-pad (clip start) and store the last kt-1 input frames in
+                  the flax "cache" collection
+      * "cont"  — front-pad from the cache (exact temporal continuation) and update it
+    """
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)  # (T, H, W)
@@ -48,12 +57,19 @@ class CausalConv3d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
         kt, kh, kw = self.kernel
         st, sh, sw = self.strides
         if kt > 1:
-            front = jnp.repeat(x[:, :1], kt - 1, axis=1)
-            x = jnp.concatenate([front, x], axis=1)
+            if cache_mode is None:
+                x = jnp.concatenate([jnp.repeat(x[:, :1], kt - 1, axis=1), x], axis=1)
+            else:
+                cache = self.variable(
+                    "cache", "past", lambda: jnp.repeat(x[:, :1], kt - 1, axis=1))
+                front = (cache.value if cache_mode == "cont"
+                         else jnp.repeat(x[:, :1], kt - 1, axis=1))
+                x = jnp.concatenate([front, x], axis=1)
+                cache.value = x[:, -(kt - 1):]
         pad_h = ((kh - 1) // 2, kh // 2)
         pad_w = ((kw - 1) // 2, kw // 2)
         return nn.Conv(self.features, (kt, kh, kw), strides=(st, sh, sw),
@@ -65,12 +81,12 @@ class CogResBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
         in_ch = x.shape[-1]
         h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm1")(x)
-        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv1")(h, cache_mode)
         h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm2")(h)
-        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = CausalConv3d(self.out_channels, dtype=self.dtype, name="conv2")(h, cache_mode)
         if in_ch != self.out_channels:
             x = CausalConv3d(self.out_channels, kernel=(1, 1, 1), dtype=self.dtype,
                              name="conv_shortcut")(x)
@@ -87,7 +103,12 @@ def _temporal_downsample(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([first, rest], axis=1)
 
 
-def _temporal_upsample(x: jnp.ndarray) -> jnp.ndarray:
+def _temporal_upsample(x: jnp.ndarray, clip_start: bool = True) -> jnp.ndarray:
+    """2x temporal upsample; the clip's true first frame stays unexpanded (CogVideoX's
+    uncompressed-first-frame convention). ``clip_start=False`` for continuation chunks
+    of a streaming decode, where every frame is a 'rest' frame."""
+    if not clip_start:
+        return jnp.repeat(x, 2, axis=1)
     first, rest = x[:, :1], x[:, 1:]
     rest = jnp.repeat(rest, 2, axis=1)
     return jnp.concatenate([first, rest], axis=1)
@@ -128,19 +149,19 @@ class CogVideoXDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
         cfg = self.config
         chs = tuple(reversed(cfg.block_out_channels))
-        h = CausalConv3d(chs[0], dtype=self.dtype, name="conv_in")(z)
-        h = CogResBlock3D(chs[0], dtype=self.dtype, name="mid_res_0")(h)
-        h = CogResBlock3D(chs[0], dtype=self.dtype, name="mid_res_1")(h)
+        h = CausalConv3d(chs[0], dtype=self.dtype, name="conv_in")(z, cache_mode)
+        h = CogResBlock3D(chs[0], dtype=self.dtype, name="mid_res_0")(h, cache_mode)
+        h = CogResBlock3D(chs[0], dtype=self.dtype, name="mid_res_1")(h, cache_mode)
         t_levels = tuple(reversed(cfg.temporal_compress_levels))
         for i, ch in enumerate(chs):
             for j in range(cfg.layers_per_block):
-                h = CogResBlock3D(ch, dtype=self.dtype, name=f"up_{i}_res_{j}")(h)
+                h = CogResBlock3D(ch, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, cache_mode)
             if i < len(chs) - 1:
                 if t_levels[i]:
-                    h = _temporal_upsample(h)
+                    h = _temporal_upsample(h, clip_start=cache_mode != "cont")
                 h = _spatial_resize(h, 2.0)
                 b, t, hh, ww, c = h.shape
                 h2 = h.reshape(b * t, hh, ww, c)
@@ -148,7 +169,7 @@ class CogVideoXDecoder(nn.Module):
                              name=f"up_{i}_upsample")(h2)
                 h = h2.reshape(b, t, hh, ww, c)
         h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm_out")(h)
-        return CausalConv3d(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
+        return CausalConv3d(cfg.out_channels, dtype=self.dtype, name="conv_out")(h, cache_mode)
 
 
 class AutoencoderKLCogVideoX(nn.Module):
@@ -163,11 +184,49 @@ class AutoencoderKLCogVideoX(nn.Module):
         """(B, T, H, W, 3) -> (B, T_lat, h, w, latent) posterior mean."""
         return self.encoder(x)[..., : self.config.latent_channels]
 
-    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(z)
+    def decode(self, z: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
+        return self.decoder(z, cache_mode)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.decode(self.encode_mode(x))
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_fns(vae: AutoencoderKLCogVideoX):
+    """Jitted decode entry points, cached per module config so tile/chunk loops reuse
+    one compilation per shape."""
+    fn_plain = jax.jit(lambda p, zc: vae.apply(
+        p, zc, method=AutoencoderKLCogVideoX.decode))
+    fn_first = jax.jit(lambda p, zc: vae.apply(
+        p, zc, "first", mutable=["cache"], method=AutoencoderKLCogVideoX.decode))
+    fn_cont = jax.jit(lambda p, zc: vae.apply(
+        p, zc, "cont", mutable=["cache"], method=AutoencoderKLCogVideoX.decode))
+    return fn_plain, fn_first, fn_cont
+
+
+def chunked_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
+                   chunk_latent_frames: int = 2) -> jnp.ndarray:
+    """Streaming temporal decode in small latent-frame chunks — the diffusers
+    ``num_latent_frames_batch_size`` frame batching the reference's CogVideoX serving
+    relies on (``CogVideo-main/inference/cli_demo.py:163`` enable_slicing/tiling stack):
+    peak decoder activation HBM is bounded by the chunk, not the clip.
+
+    Temporal continuity across chunks is EXACT for every causal conv (the flax "cache"
+    collection carries the last kt-1 input frames per conv, the diffusers conv_cache
+    analog); GroupNorm statistics are per-chunk, exactly as in diffusers' chunked
+    decode. The first chunk absorbs the clip's uncompressed first frame plus the
+    remainder so continuation chunks share ONE compiled shape.
+    """
+    t = z.shape[1]
+    first = ((t - 1) % chunk_latent_frames) + 1
+    _, fn_first, fn_cont = _decode_fns(vae)
+    frames, mut = fn_first(params, z[:, :first])
+    outs = [frames]
+    for idx in range(first, t, chunk_latent_frames):
+        frames, mut = fn_cont({**params, "cache": mut["cache"]},
+                              z[:, idx:idx + chunk_latent_frames])
+        outs.append(frames)
+    return jnp.concatenate(outs, axis=1)
 
 
 def _blend_ramp(n: int, dtype) -> jnp.ndarray:
@@ -178,7 +237,8 @@ def _blend_ramp(n: int, dtype) -> jnp.ndarray:
 
 def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
                  tile_latent_height: int = 60, tile_latent_width: int = 90,
-                 overlap: float = 0.25) -> jnp.ndarray:
+                 overlap: float = 0.25,
+                 chunk_latent_frames: int | None = None) -> jnp.ndarray:
     """Spatially tiled decode — the reference's ``vae.enable_tiling()`` serving path
     (diffusers AutoencoderKLCogVideoX.tiled_decode, used by the reference
     ``CogVideo-main/inference/cli_demo.py:164``): the latent grid is decoded in
@@ -195,8 +255,6 @@ def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
     s = 2 ** (len(vae.config.block_out_channels) - 1)
     stride_h = max(1, int(th * (1 - overlap)))
     stride_w = max(1, int(tw * (1 - overlap)))
-    blend_h = (th - stride_h) * s  # output-pixel blend extents
-    blend_w = (tw - stride_w) * s
 
     starts_h = list(range(0, max(h - th, 0) + 1, stride_h))
     if starts_h[-1] + th < h:
@@ -205,8 +263,11 @@ def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
     if starts_w[-1] + tw < w:
         starts_w.append(w - tw)
 
-    decode = jax.jit(lambda p, zt: vae.apply(
-        p, zt, method=AutoencoderKLCogVideoX.decode))
+    if chunk_latent_frames:
+        def decode(p, zt):
+            return chunked_decode(vae, p, zt, chunk_latent_frames=chunk_latent_frames)
+    else:
+        decode = _decode_fns(vae)[0]
 
     t_out = None
     out = None

@@ -258,3 +258,65 @@ class TestTiledDecode:
         out = tiled_decode(vae, params, z, tile_latent_height=8, tile_latent_width=8)
         assert out.shape == (1, 17, 14 * 4, 10 * 4, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestChunkedDecode:
+    """Conv-cached streaming decode (diffusers num_latent_frames_batch_size analog)."""
+
+    def test_causal_conv_cache_is_exact(self):
+        from lkgd_tpu.models.vae_cogvideox import CausalConv3d
+
+        conv = CausalConv3d(6)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 7, 8, 8, 4))
+        params = conv.init(jax.random.PRNGKey(1), x)
+        full = conv.apply(params, x)
+        y1, mut = conv.apply(params, x[:, :3], "first", mutable=["cache"])
+        y2, _ = conv.apply({**params, "cache": mut["cache"]}, x[:, 3:], "cont",
+                           mutable=["cache"])
+        got = jnp.concatenate([y1, y2], axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=1e-6)
+
+    def test_chunked_decode_shape_and_stats(self):
+        from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                                   CogVideoXVAEConfig, chunked_decode)
+
+        vae = AutoencoderKLCogVideoX(CogVideoXVAEConfig.tiny())
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 8, 8, 4))
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 16, 16, 3)))
+        full = vae.apply(params, z, method=AutoencoderKLCogVideoX.decode)
+        chunked = chunked_decode(vae, params, z, chunk_latent_frames=2)
+        assert chunked.shape == full.shape
+        assert bool(jnp.isfinite(chunked).all())
+        # conv caches are exact; the only divergence is per-chunk GroupNorm statistics
+        # (identical to diffusers' chunked decode behavior)
+        d = np.abs(np.asarray(chunked) - np.asarray(full))
+        assert d.mean() < float(jnp.std(full)), (d.mean(), float(jnp.std(full)))
+
+    def test_single_chunk_equals_full(self):
+        from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                                   CogVideoXVAEConfig, chunked_decode)
+
+        vae = AutoencoderKLCogVideoX(CogVideoXVAEConfig.tiny())
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 8, 8, 4))
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 16, 16, 3)))
+        full = vae.apply(params, z, method=AutoencoderKLCogVideoX.decode)
+        got = chunked_decode(vae, params, z, chunk_latent_frames=3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=1e-5)
+
+    def test_tiled_plus_chunked_compose(self):
+        """The full diffusers memory ladder: spatial tiles, each streamed in
+        conv-cached temporal chunks."""
+        from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                                   CogVideoXVAEConfig, tiled_decode)
+
+        vae = AutoencoderKLCogVideoX(CogVideoXVAEConfig.tiny())
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 16, 16, 4))
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3)))
+        plain_tiled = tiled_decode(vae, params, z, tile_latent_height=8,
+                                   tile_latent_width=8)
+        both = tiled_decode(vae, params, z, tile_latent_height=8, tile_latent_width=8,
+                            chunk_latent_frames=2)
+        assert both.shape == plain_tiled.shape
+        assert bool(jnp.isfinite(both).all())
+        d = np.abs(np.asarray(both) - np.asarray(plain_tiled))
+        assert d.mean() < float(jnp.std(plain_tiled))
