@@ -56,8 +56,9 @@ def main():
     p.add_argument("--vae-tile-latent", type=int, nargs=2, default=(60, 90),
                    metavar=("H", "W"), help="latent tile size for --vae-tiling")
     p.add_argument("--vae-chunk-frames", type=int, default=0,
-                   help="streaming decode in N-latent-frame chunks with exact conv "
-                   "caches (diffusers frame batching analog); 0 = whole clip")
+                   help="streaming VAE decode/encode in N-latent-frame chunks with "
+                   "exact conv caches (diffusers frame batching analog; encode chunks "
+                   "are N x temporal-compression pixel frames); 0 = whole clip")
     p.add_argument("--sequence-parallel", choices=["none", "ulysses", "ring"],
                    default="none",
                    help="sequence-parallel attention over the mesh 'context' axis "
@@ -144,10 +145,28 @@ def main():
         print(f"transformer bytes/device: "
               f"{tplib.per_device_param_bytes(params) / 2**20:.0f} MiB")
 
-    @jax.jit
-    def encode(vp, img):
-        lat = vae.apply(vp, img, method=AutoencoderKLCogVideoX.encode_mode)
-        return lat * vcfg.scaling_factor  # (B, F_lat, h, w, C_lat)
+    if args.vae_tiling or args.vae_chunk_frames:
+        # encode-side serving ladder (v2v input video / large frames)
+        from lkgd_tpu.models.vae_cogvideox import chunked_encode, tiled_encode
+
+        compress = 2 ** sum(vcfg.temporal_compress_levels)
+        enc_chunk = args.vae_chunk_frames * compress if args.vae_chunk_frames else None
+        sp = 2 ** (len(vcfg.block_out_channels) - 1)
+
+        def encode(vp, img):
+            if args.vae_tiling:
+                lat = tiled_encode(
+                    vae, vp, img, tile_height=args.vae_tile_latent[0] * sp,
+                    tile_width=args.vae_tile_latent[1] * sp,
+                    chunk_frames=enc_chunk if img.shape[1] > 1 else None)
+            else:
+                lat = chunked_encode(vae, vp, img, chunk_frames=enc_chunk)
+            return lat * vcfg.scaling_factor
+    else:
+        @jax.jit
+        def encode(vp, img):
+            lat = vae.apply(vp, img, method=AutoencoderKLCogVideoX.encode_mode)
+            return lat * vcfg.scaling_factor  # (B, F_lat, h, w, C_lat)
 
     if args.prompt_embeds:
         emb = np.load(args.prompt_embeds)

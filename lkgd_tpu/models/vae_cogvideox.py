@@ -93,9 +93,14 @@ class CogResBlock3D(nn.Module):
         return x + h
 
 
-def _temporal_downsample(x: jnp.ndarray) -> jnp.ndarray:
+def _temporal_downsample(x: jnp.ndarray, clip_start: bool = True) -> jnp.ndarray:
     """Causal 2x temporal pooling: keep frame 0, average-pool pairs of the rest
-    (CogVideoX keeps the first frame uncompressed)."""
+    (CogVideoX keeps the first frame uncompressed). ``clip_start=False`` for
+    continuation chunks of a streaming encode, where every frame pairs normally."""
+    if not clip_start:
+        t = x.shape[1]
+        xe = x[:, : t - t % 2]
+        return xe.reshape(xe.shape[0], -1, 2, *xe.shape[2:]).mean(axis=2)
     first, rest = x[:, :1], x[:, 1:]
     t = rest.shape[1]
     rest = rest[:, : t - t % 2]
@@ -124,12 +129,13 @@ class CogVideoXEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
         cfg = self.config
-        h = CausalConv3d(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(x)
+        h = CausalConv3d(cfg.block_out_channels[0], dtype=self.dtype,
+                         name="conv_in")(x, cache_mode)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = CogResBlock3D(ch, dtype=self.dtype, name=f"down_{i}_res_{j}")(h)
+                h = CogResBlock3D(ch, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, cache_mode)
             if i < len(cfg.block_out_channels) - 1:
                 b, t, hh, ww, c = h.shape
                 h = h.reshape(b * t, hh, ww, c)
@@ -137,11 +143,14 @@ class CogVideoXEncoder(nn.Module):
                             name=f"down_{i}_downsample")(h)
                 h = h.reshape(b, t, hh // 2, ww // 2, c)
                 if cfg.temporal_compress_levels[i]:
-                    h = _temporal_downsample(h)
-        h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_res_0")(h)
-        h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype, name="mid_res_1")(h)
+                    h = _temporal_downsample(h, clip_start=cache_mode != "cont")
+        h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype,
+                          name="mid_res_0")(h, cache_mode)
+        h = CogResBlock3D(cfg.block_out_channels[-1], dtype=self.dtype,
+                          name="mid_res_1")(h, cache_mode)
         h = GroupNorm(32, 1e-6, dtype=self.dtype, act="silu", name="norm_out")(h)
-        return CausalConv3d(2 * cfg.latent_channels, dtype=self.dtype, name="conv_out")(h)
+        return CausalConv3d(2 * cfg.latent_channels, dtype=self.dtype,
+                            name="conv_out")(h, cache_mode)
 
 
 class CogVideoXDecoder(nn.Module):
@@ -180,9 +189,9 @@ class AutoencoderKLCogVideoX(nn.Module):
         self.encoder = CogVideoXEncoder(self.config, dtype=self.dtype)
         self.decoder = CogVideoXDecoder(self.config, dtype=self.dtype)
 
-    def encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
+    def encode_mode(self, x: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
         """(B, T, H, W, 3) -> (B, T_lat, h, w, latent) posterior mean."""
-        return self.encoder(x)[..., : self.config.latent_channels]
+        return self.encoder(x, cache_mode)[..., : self.config.latent_channels]
 
     def decode(self, z: jnp.ndarray, cache_mode: str | None = None) -> jnp.ndarray:
         return self.decoder(z, cache_mode)
@@ -227,6 +236,100 @@ def chunked_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
                               z[:, idx:idx + chunk_latent_frames])
         outs.append(frames)
     return jnp.concatenate(outs, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _encode_fns(vae: AutoencoderKLCogVideoX):
+    fn_plain = jax.jit(lambda p, xc: vae.apply(
+        p, xc, method=AutoencoderKLCogVideoX.encode_mode))
+    fn_first = jax.jit(lambda p, xc: vae.apply(
+        p, xc, "first", mutable=["cache"], method=AutoencoderKLCogVideoX.encode_mode))
+    fn_cont = jax.jit(lambda p, xc: vae.apply(
+        p, xc, "cont", mutable=["cache"], method=AutoencoderKLCogVideoX.encode_mode))
+    return fn_plain, fn_first, fn_cont
+
+
+def chunked_encode(vae: AutoencoderKLCogVideoX, params, x: jnp.ndarray, *,
+                   chunk_frames: int = 8) -> jnp.ndarray:
+    """Streaming encode in pixel-frame chunks (diffusers frame batching on the encode
+    side — the reference's v2v / latent-precompute path at scale). Conv caches make
+    temporal continuity exact; GroupNorm stats are per-chunk as in diffusers.
+    ``chunk_frames`` must be a multiple of the total temporal compression so every
+    chunk pools into whole latent frames."""
+    t = x.shape[1]
+    compress = 2 ** sum(vae.config.temporal_compress_levels)
+    if chunk_frames % compress:
+        raise ValueError(f"chunk_frames {chunk_frames} not a multiple of the "
+                         f"{compress}x temporal compression")
+    first = ((t - 1) % chunk_frames) + 1
+    _, fn_first, fn_cont = _encode_fns(vae)
+    z, mut = fn_first(params, x[:, :first])
+    outs = [z]
+    for idx in range(first, t, chunk_frames):
+        z, mut = fn_cont({**params, "cache": mut["cache"]},
+                         x[:, idx:idx + chunk_frames])
+        outs.append(z)
+    return jnp.concatenate(outs, axis=1)
+
+
+def tiled_encode(vae: AutoencoderKLCogVideoX, params, x: jnp.ndarray, *,
+                 tile_height: int = 480, tile_width: int = 720,
+                 overlap: float = 0.25,
+                 chunk_frames: int | None = None) -> jnp.ndarray:
+    """Spatially tiled encode with latent-space blend ramps (diffusers
+    ``tiled_encode``); composes with :func:`chunked_encode` per tile."""
+    b, t, h, w, c = x.shape
+    s = 2 ** (len(vae.config.block_out_channels) - 1)
+    th, tw = min(tile_height, h), min(tile_width, w)
+    th -= th % s
+    tw -= tw % s
+    stride_h = max(s, (int(th * (1 - overlap)) // s) * s)
+    stride_w = max(s, (int(tw * (1 - overlap)) // s) * s)
+
+    starts_h = list(range(0, max(h - th, 0) + 1, stride_h))
+    if starts_h[-1] + th < h:
+        starts_h.append(h - th)
+    starts_w = list(range(0, max(w - tw, 0) + 1, stride_w))
+    if starts_w[-1] + tw < w:
+        starts_w.append(w - tw)
+    if (starts_h[-1] + th != h) or (starts_w[-1] + tw != w):
+        raise ValueError(f"frame {h}x{w} not coverable by {th}x{tw} tiles "
+                         f"(must be multiples of {s})")
+
+    if chunk_frames:
+        def encode(p, xt):
+            return chunked_encode(vae, p, xt, chunk_frames=chunk_frames)
+    else:
+        encode = _encode_fns(vae)[0]
+
+    t_out = None
+    out = None
+    for i in starts_h:
+        row = None
+        for j in starts_w:
+            tile = encode(params, x[:, :, i:i + th, j:j + tw])
+            t_out = tile.shape[1]
+            if row is None:
+                row = tile
+            else:
+                ov = row.shape[3] - j // s  # latent-space overlap width
+                ramp = _blend_ramp(ov, tile.dtype)[None, None, None, :, None]
+                blended = (row[:, :, :, row.shape[3] - ov:] * (1 - ramp)
+                           + tile[:, :, :, :ov] * ramp)
+                row = jnp.concatenate(
+                    [row[:, :, :, :row.shape[3] - ov], blended, tile[:, :, :, ov:]],
+                    axis=3)
+        if out is None:
+            out = row
+        else:
+            ov = out.shape[2] - i // s
+            ramp = _blend_ramp(ov, row.dtype)[None, None, :, None, None]
+            blended = (out[:, :, out.shape[2] - ov:] * (1 - ramp)
+                       + row[:, :, :ov] * ramp)
+            out = jnp.concatenate(
+                [out[:, :, :out.shape[2] - ov], blended, row[:, :, ov:]], axis=2)
+    assert out.shape == (b, t_out, h // s, w // s, vae.config.latent_channels), out.shape
+    return out
 
 
 def _blend_ramp(n: int, dtype) -> jnp.ndarray:

@@ -35,6 +35,10 @@ def _run_cli(tmp_path, *extra):
 
 
 def test_cli_tensor_parallel_serving(tmp_path):
-    stdout = _run_cli(str(tmp_path), "--mesh", "data=2,model=4")
+    """One subprocess covering the serving stack: TP weight sharding over the mesh
+    plus the tiled + conv-cached-chunked VAE decode ladder."""
+    stdout = _run_cli(str(tmp_path), "--mesh", "data=2,model=4",
+                      "--vae-tiling", "--vae-tile-latent", "4", "4",
+                      "--vae-chunk-frames", "1")
     assert "mesh: {'data': 2, 'model': 4}" in stdout
     assert "bytes/device" in stdout

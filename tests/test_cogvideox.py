@@ -320,3 +320,54 @@ class TestChunkedDecode:
         assert bool(jnp.isfinite(both).all())
         d = np.abs(np.asarray(both) - np.asarray(plain_tiled))
         assert d.mean() < float(jnp.std(plain_tiled))
+
+
+class TestChunkedTiledEncode:
+    """Encode-side serving ladder (diffusers tiled_encode / frame batching analog)."""
+
+    def _setup(self, t=9, hw=32):
+        from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                                   CogVideoXVAEConfig)
+
+        vae = AutoencoderKLCogVideoX(CogVideoXVAEConfig.tiny())
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, t, hw, hw, 3))
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, hw, hw, 3)))
+        full = vae.apply(params, x, method=AutoencoderKLCogVideoX.encode_mode)
+        return vae, params, x, full
+
+    def test_single_chunk_equals_full(self):
+        from lkgd_tpu.models.vae_cogvideox import chunked_encode
+
+        vae, params, x, full = self._setup(t=9)
+        got = chunked_encode(vae, params, x, chunk_frames=12)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=1e-5)
+
+    def test_chunked_shape_and_stats(self):
+        from lkgd_tpu.models.vae_cogvideox import chunked_encode
+
+        vae, params, x, full = self._setup(t=9)
+        got = chunked_encode(vae, params, x, chunk_frames=4)
+        assert got.shape == full.shape
+        assert bool(jnp.isfinite(got).all())
+        d = np.abs(np.asarray(got) - np.asarray(full))
+        assert d.mean() < float(jnp.std(full)), (d.mean(), float(jnp.std(full)))
+
+    def test_chunk_must_divide_compression(self):
+        import pytest
+
+        from lkgd_tpu.models.vae_cogvideox import chunked_encode
+
+        vae, params, x, _ = self._setup(t=9)
+        with pytest.raises(ValueError):
+            chunked_encode(vae, params, x, chunk_frames=3)
+
+    def test_tiled_single_tile_exact_and_multi_tile_geometry(self):
+        from lkgd_tpu.models.vae_cogvideox import tiled_encode
+
+        vae, params, x, full = self._setup(t=5, hw=32)
+        one = tiled_encode(vae, params, x, tile_height=32, tile_width=32)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(full), atol=1e-5)
+        tiled = tiled_encode(vae, params, x, tile_height=16, tile_width=16,
+                             chunk_frames=4)
+        assert tiled.shape == full.shape
+        assert bool(jnp.isfinite(tiled).all())
