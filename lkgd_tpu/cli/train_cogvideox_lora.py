@@ -30,6 +30,9 @@ def main():
     p.add_argument("--mode", choices=["i2v", "t2v"], default="i2v",
                    help="t2v drops the image-condition channels (reference cogvideox_t2v/lora_trainer.py)")
     p.add_argument("--tiny", action="store_true", help="tiny model (smoke/testing)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer blocks in the backward pass "
+                   "(activation-checkpointing; required for 5B full-length training)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -50,6 +53,10 @@ def main():
         projections=("to_q", "to_k", "to_v", "to_out")),))
     cfg = (CogVideoXConfig.tiny(lora=lora) if args.tiny
            else CogVideoXConfig.cogvideox_5b_i2v(lora=lora))
+    if args.remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, remat=True)
     if args.mode == "t2v":
         import dataclasses
 

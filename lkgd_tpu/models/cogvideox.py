@@ -54,6 +54,9 @@ class CogVideoXConfig:
     # divide by the axis size, and for ulysses heads must too.
     sequence_parallel: str = "none"  # none | ulysses | ring
     sp_axis: str = "context"
+    # gradient checkpointing: rematerialize each transformer block in the backward
+    # pass (the reference trains 5B with DeepSpeed activation checkpointing)
+    remat: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -241,11 +244,12 @@ class CogVideoXTransformer3D(nn.Module):
         rope = rope_3d(t, h // p, w // p, cfg.attention_head_dim)
 
         hidden, encoder = video, text
+        block_cls = nn.remat(CogVideoXBlock) if cfg.remat else CogVideoXBlock
         for i in range(cfg.num_layers):
-            hidden, encoder = CogVideoXBlock(cfg, f"transformer_blocks.{i}",
-                                             dtype=self.dtype,
-                                             name=f"transformer_blocks_{i}")(
-                                                 hidden, encoder, emb, rope)
+            hidden, encoder = block_cls(cfg, f"transformer_blocks.{i}",
+                                        dtype=self.dtype,
+                                        name=f"transformer_blocks_{i}")(
+                                            hidden, encoder, emb, rope)
 
         hidden = LayerNorm(1e-5, dtype=self.dtype, name="norm_final")(
             jnp.concatenate([encoder, hidden], axis=1))[:, encoder.shape[1]:]

@@ -371,3 +371,27 @@ class TestChunkedTiledEncode:
                              chunk_frames=4)
         assert tiled.shape == full.shape
         assert bool(jnp.isfinite(tiled).all())
+
+
+def test_remat_forward_matches_and_grads_finite():
+    """cfg.remat=True (5B training memory lever, DeepSpeed activation-checkpointing
+    analog) must not change the forward values or the param tree."""
+    import dataclasses as dc
+
+    cfg = CogVideoXConfig.tiny()
+    model = CogVideoXTransformer3D(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 8))
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, 8, cfg.text_embed_dim))
+    ts = jnp.zeros((1,))
+    params = model.init(jax.random.PRNGKey(2), x, pe, ts)
+    want = model.apply(params, x, pe, ts)
+
+    rmodel = CogVideoXTransformer3D(dc.replace(cfg, remat=True))
+    got = rmodel.apply(params, x, pe, ts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def loss(p):
+        return jnp.mean(rmodel.apply(p, x, pe, ts) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
