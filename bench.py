@@ -21,6 +21,8 @@ Env overrides:
                  CFG-doubled, S=17776) — s/step, not s/clip
       train      LKGD fine-tune step (512x512 x 8f, bs1, quaternion+LoRA, remat,
                  full fwd+bwd+optimizer) — s/step (reference train_svd_lora.sh)
+      vae        SVD temporal VAE decode (14f x 576x1024) + CogVideoX conv-cached
+                 chunked decode (49f x 480x720) — seconds
 """
 
 from __future__ import annotations
@@ -278,6 +280,47 @@ def bench_cogvideox(reps):
             _time(lambda: fwd(params, sample, text, timestep), reps, "cogvideox"))
 
 
+def bench_vae(reps):
+    """VAE decode paths: the SVD temporal decode inside the headline clip (~0.9 s of
+    the 14f x 576x1024 budget) and the CogVideoX conv-cached chunked decode
+    (49f x 480x720, the serving ladder). Primary metric = SVD decode seconds."""
+    from lkgd_tpu.models.vae_temporal import (AutoencoderKLTemporalDecoder,
+                                              TemporalVAEConfig)
+
+    small = bool(os.environ.get("LKGD_BENCH_SMALL"))
+    vcfg = (TemporalVAEConfig(block_out_channels=(32, 64), layers_per_block=1)
+            if small else TemporalVAEConfig())
+    vae = AutoencoderKLTemporalDecoder(vcfg, dtype=jnp.bfloat16)
+    params = jax.jit(lambda: vae.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 64, 64, 3)), num_frames=1))()
+    params = _bf16(params)
+    t, zh, zw = (4, 16, 16) if small else (14, 72, 128)
+    z = jax.random.normal(jax.random.PRNGKey(1), (t, zh, zw, 4), jnp.bfloat16)
+    dec = jax.jit(lambda p, zz: vae.apply(p, zz, t,
+                                          method=AutoencoderKLTemporalDecoder.decode))
+    svd_s = _time(lambda: dec(params, z), reps, "svd-vae-decode")
+
+    from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                               CogVideoXVAEConfig, chunked_decode)
+
+    ccfg = CogVideoXVAEConfig.tiny() if small else CogVideoXVAEConfig()
+    cvae = AutoencoderKLCogVideoX(ccfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(cvae.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 1, 64, 64, 3)))
+    leaves, treedef = jax.tree.flatten(shapes)
+    cparams = jax.tree.unflatten(treedef, [
+        jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(0), i), l.shape,
+                          jnp.bfloat16) * 0.02 for i, l in enumerate(leaves)])
+    ct, ch, cw = (3, 8, 8) if small else (13, 60, 90)
+    zc = jax.random.normal(jax.random.PRNGKey(2), (1, ct, ch, cw, ccfg.latent_channels),
+                           jnp.bfloat16) * 0.5
+    cog_s = _time(lambda: chunked_decode(cvae, cparams, zc, chunk_latent_frames=2),
+                  max(1, reps - 1), "cogvideox-chunked-decode")
+    print(f"# cogvideox chunked decode ({4 * (ct - 1) + 1}f x {ch * 8}x{cw * 8}, "
+          f"chunk=2): {cog_s:.3f} s", file=sys.stderr)
+    return (f"sec SVD VAE decode ({t}f x {zh * 8}x{zw * 8})", svd_s)
+
+
 def _require_device(timeout_s: float = 180.0) -> None:
     """Fail fast (rc=1) if the backend hangs or is CPU: a dead device tunnel would
     otherwise hang jax.devices() indefinitely, and a silent CPU fallback would report a
@@ -317,6 +360,8 @@ def main():
         label, value = bench_cogvideox(reps)
     elif which == "train":
         label, value = bench_train(reps)
+    elif which == "vae":
+        label, value = bench_vae(reps)
     else:
         raise SystemExit(f"unknown LKGD_BENCH_PIPELINE={which!r}")
 
