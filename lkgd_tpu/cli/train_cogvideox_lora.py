@@ -33,6 +33,10 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer blocks in the backward pass "
                    "(activation-checkpointing; required for 5B full-length training)")
+    p.add_argument("--full-finetune", action="store_true",
+                   help="SFT: train ALL transformer parameters instead of LoRA "
+                   "adapters (reference CogVideo-main finetune sft mode; combine "
+                   "with --remat and ZeRO opt-state sharding at scale)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -48,9 +52,10 @@ def main():
     from lkgd_tpu.training.train_state import init_train_state, make_optimizer
     from lkgd_tpu.training.trainer import Trainer, TrainerConfig, export_trainable_safetensors
 
-    lora = LoraRouter(rules=(LoraRule(
-        "*attn1*", "cog", args.rank, args.lora_alpha,
-        projections=("to_q", "to_k", "to_v", "to_out")),))
+    lora = (LoraRouter() if args.full_finetune
+            else LoraRouter(rules=(LoraRule(
+                "*attn1*", "cog", args.rank, args.lora_alpha,
+                projections=("to_q", "to_k", "to_v", "to_out")),)))
     cfg = (CogVideoXConfig.tiny(lora=lora) if args.tiny
            else CogVideoXConfig.cogvideox_5b_i2v(lora=lora))
     if args.remat:
@@ -108,7 +113,10 @@ def main():
         jnp.zeros((B,) + prompt.shape), jnp.zeros((B,)),
         domain_features=dom0, flow_features=dom0)
 
-    trainable = lambda path: "lora_" in path or "knowledge_fusion" in path
+    if args.full_finetune:
+        trainable = lambda path: True
+    else:
+        trainable = lambda path: "lora_" in path or "knowledge_fusion" in path
     optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable)
     step = make_cogvideox_train_step(model, optimizer, mode=args.mode)
     state = init_train_state(params, optimizer)
