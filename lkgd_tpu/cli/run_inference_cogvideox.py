@@ -39,6 +39,9 @@ def main():
     p.add_argument("--num-frames", type=int, default=49)
     p.add_argument("--num-inference-steps", type=int, default=50)
     p.add_argument("--guidance-scale", type=float, default=6.0)
+    p.add_argument("--scheduler", choices=["ddim", "dpm"], default="dpm",
+                   help="dpm = CogVideoXDPMScheduler (reference cli_demo.py default "
+                   "for 5B, pairs with dynamic CFG); ddim = deterministic")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke/testing)")
     p.add_argument("--seed", type=int, default=42)
@@ -100,6 +103,7 @@ def main():
     pcfg = CogVideoXPipelineConfig(
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps, guidance_scale=args.guidance_scale,
+        scheduler=args.scheduler,
         vae_scale_factor_spatial=2 ** (len(vcfg.block_out_channels) - 1))
     kw = dict(config=pcfg, transformer_config=tcfg, dtype=jnp.bfloat16, mesh=mesh)
     if args.generate_type == "t2v":

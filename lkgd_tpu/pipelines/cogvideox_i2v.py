@@ -33,6 +33,8 @@ class CogVideoXPipelineConfig:
     num_inference_steps: int = 50
     guidance_scale: float = 6.0
     use_dynamic_cfg: bool = True
+    scheduler: str = "ddim"  # "ddim" | "dpm" (reference cli_demo.py:135-140 recommends
+    # CogVideoXDPMScheduler + dynamic CFG for the 5B checkpoints)
     vae_scale_factor_spatial: int = 8
     vae_scaling_factor: float = 0.7  # CogVideoX latent scaling (1/1.15258426 ~ invstd)
 
@@ -67,7 +69,14 @@ class CogVideoXImageToVideoPipeline:
         self.mesh = mesh
         self.dtype = dtype
         self.transformer = CogVideoXTransformer3D(transformer_config, dtype=dtype)
-        self.scheduler = CogVideoXDDIMScheduler(scheduler_config)
+        if config.scheduler == "dpm":
+            from lkgd_tpu.schedulers.cogvideox_dpm import CogVideoXDPMScheduler
+
+            self.scheduler = CogVideoXDPMScheduler(scheduler_config)
+        elif config.scheduler == "ddim":
+            self.scheduler = CogVideoXDDIMScheduler(scheduler_config)
+        else:
+            raise ValueError(f"unknown scheduler {config.scheduler!r}")
         self.schedule = self.scheduler.set_timesteps(config.num_inference_steps)
         self._generate = jax.jit(self._generate_impl)
 
@@ -120,8 +129,10 @@ class CogVideoXImageToVideoPipeline:
 
         schedule, scheduler = self.schedule, self.scheduler
         n = schedule.num_steps
+        dpm = cfg.scheduler == "dpm"
+        sde_rng = jax.random.fold_in(rng, 0x0D9B) if dpm else None
 
-        def step_fn(latents, i):
+        def predict(latents, i):
             t = schedule.timesteps[i]
             model_in = (jnp.concatenate([latents] * 2, axis=0)
                         if do_cfg else latents).astype(self.dtype)
@@ -140,10 +151,26 @@ class CogVideoXImageToVideoPipeline:
                 else:
                     g = cfg.guidance_scale
                 pred = uncond + g * (cond - uncond)
-            latents, _ = scheduler.step(schedule, pred, i, latents)
-            return latents, ()
+            return pred
 
-        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(start_index, n))
+        if dpm:
+            def step_fn(carry, i):
+                latents, old_x0 = carry
+                pred = predict(latents, i)
+                noise = jax.random.normal(jax.random.fold_in(sde_rng, i),
+                                          latents.shape, jnp.float32)
+                latents, x0 = scheduler.step(schedule, pred, old_x0, i, latents, noise)
+                return (latents, x0), ()
+
+            (latents, _), _ = jax.lax.scan(
+                step_fn, (latents, jnp.zeros_like(latents)),
+                jnp.arange(start_index, n))
+        else:
+            def step_fn(latents, i):
+                latents, _ = scheduler.step(schedule, predict(latents, i), i, latents)
+                return latents, ()
+
+            latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(start_index, n))
         return latents
 
     def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, image_latents,
