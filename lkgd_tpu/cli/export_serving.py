@@ -103,6 +103,73 @@ def export_cogvideox(output_dir: str, tiny: bool = False, platforms=("tpu", "cpu
     return output_dir
 
 
+def export_svd(output_dir: str, tiny: bool = False, platforms=("tpu", "cpu")):
+    """Export the SVD img2vid two-program pair (denoise scan, chunked temporal
+    decode) — the reference's run_inference_svd.py serving path."""
+    import jax
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.clip_vision import CLIPVisionConfig
+    from lkgd_tpu.models.configs import SVDUNetConfig
+    from lkgd_tpu.models.vae_temporal import TemporalVAEConfig
+    from lkgd_tpu.pipelines.svd import StableVideoDiffusionPipeline, SVDPipelineConfig
+
+    if tiny:
+        pipe = StableVideoDiffusionPipeline(
+            config=SVDPipelineConfig(height=64, width=64, num_frames=4,
+                                     num_inference_steps=2, decode_chunk_size=2),
+            unet_config=SVDUNetConfig(
+                block_out_channels=(32, 64),
+                down_block_types=("CrossAttnDownBlockSpatioTemporal",
+                                  "DownBlockSpatioTemporal"),
+                up_block_types=("UpBlockSpatioTemporal",
+                                "CrossAttnUpBlockSpatioTemporal"),
+                layers_per_block=1, num_attention_heads=(2, 4),
+                cross_attention_dim=32),
+            vae_config=TemporalVAEConfig(block_out_channels=(32, 64, 64),
+                                         layers_per_block=1),
+            clip_config=CLIPVisionConfig.tiny(), dtype=jnp.float32)
+    else:
+        pipe = StableVideoDiffusionPipeline(
+            config=SVDPipelineConfig(), dtype=jnp.bfloat16)
+    cfg = pipe.config
+
+    params = jax.eval_shape(pipe.init_params, jax.random.PRNGKey(0))
+    image = jax.ShapeDtypeStruct((1, cfg.height, cfg.width, 3), jnp.float32)
+    seed = jax.ShapeDtypeStruct((), jnp.uint32)
+
+    def denoise(p, image, seed):
+        return pipe._generate_impl(p, image, jax.random.PRNGKey(seed))
+
+    from jax import export as jexport
+
+    os.makedirs(output_dir, exist_ok=True)
+    exp = jexport.export(jax.jit(denoise), platforms=list(platforms))(
+        params, image, seed)
+    with open(os.path.join(output_dir, "denoise.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+
+    lat = jax.ShapeDtypeStruct((1, cfg.num_frames, pipe.latent_height,
+                                pipe.latent_width, 4), jnp.float32)
+    expd = jexport.export(jax.jit(pipe.decode_latents),
+                          platforms=list(platforms))(params["vae"], lat)
+    with open(os.path.join(output_dir, "decode.stablehlo"), "wb") as f:
+        f.write(expd.serialize())
+
+    manifest = {
+        "model": "svd_img2vid", "tiny": tiny, "platforms": list(platforms),
+        "pipeline_config": {k: getattr(cfg, k) for k in
+                            ("height", "width", "num_frames", "num_inference_steps")},
+        "denoise_args": ["params_tree", "image", "seed"],
+        "decode_args": ["vae_params_tree", "latents"],
+    }
+    with open(os.path.join(output_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"exported denoise+decode artifacts to {output_dir} "
+          f"(platforms {list(platforms)})")
+    return output_dir
+
+
 def load_and_smoke(artifact_dir: str):
     """Prove a serving host needs only the artifacts: deserialize, build random params
     matching the embedded shapes, run denoise -> decode."""
@@ -140,7 +207,7 @@ def load_and_smoke(artifact_dir: str):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", choices=["cogvideox"], default="cogvideox")
+    p.add_argument("--model", choices=["cogvideox", "svd"], default="cogvideox")
     p.add_argument("--output", default="serving_artifacts")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
@@ -149,6 +216,8 @@ def main():
     args = p.parse_args()
     if args.load:
         load_and_smoke(args.load)
+    elif args.model == "svd":
+        export_svd(args.output, tiny=args.tiny, platforms=tuple(args.platforms))
     else:
         export_cogvideox(args.output, tiny=args.tiny, platforms=tuple(args.platforms))
 

@@ -34,3 +34,12 @@ def test_export_roundtrip_matches_live(tmp_path):
     want = pipe._generate_impl(params, prompt, jnp.zeros_like(prompt), img,
                                jax.random.PRNGKey(jnp.uint32(7)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_export_svd_and_serve(tmp_path):
+    from lkgd_tpu.cli.export_serving import export_svd, load_and_smoke
+
+    art = str(tmp_path / "svd_art")
+    export_svd(art, tiny=True)
+    frames = load_and_smoke(art)
+    assert jnp.asarray(frames).shape == (1, 4, 64, 64, 3)
