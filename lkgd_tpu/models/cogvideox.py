@@ -206,6 +206,10 @@ class CogVideoXTransformer3D(nn.Module):
         timestep: jnp.ndarray,  # (B,)
         domain_features: Optional[jnp.ndarray] = None,
         flow_features: Optional[jnp.ndarray] = None,
+        blocks_override=None,  # fn(hidden, encoder, emb, rope) -> (hidden, encoder):
+        # replaces the in-module block loop, e.g. with parallel.pp.gpipe over a
+        # 'stage' mesh (the block params must still exist in the provided variables;
+        # unread subtrees are simply ignored by flax apply)
     ) -> jnp.ndarray:
         cfg = self.config
         b, t, h, w, c = hidden_states.shape
@@ -244,12 +248,15 @@ class CogVideoXTransformer3D(nn.Module):
         rope = rope_3d(t, h // p, w // p, cfg.attention_head_dim)
 
         hidden, encoder = video, text
-        block_cls = nn.remat(CogVideoXBlock) if cfg.remat else CogVideoXBlock
-        for i in range(cfg.num_layers):
-            hidden, encoder = block_cls(cfg, f"transformer_blocks.{i}",
-                                        dtype=self.dtype,
-                                        name=f"transformer_blocks_{i}")(
-                                            hidden, encoder, emb, rope)
+        if blocks_override is not None and not self.is_initializing():
+            hidden, encoder = blocks_override(hidden, encoder, emb, rope)
+        else:
+            block_cls = nn.remat(CogVideoXBlock) if cfg.remat else CogVideoXBlock
+            for i in range(cfg.num_layers):
+                hidden, encoder = block_cls(cfg, f"transformer_blocks.{i}",
+                                            dtype=self.dtype,
+                                            name=f"transformer_blocks_{i}")(
+                                                hidden, encoder, emb, rope)
 
         hidden = LayerNorm(1e-5, dtype=self.dtype, name="norm_final")(
             jnp.concatenate([encoder, hidden], axis=1))[:, encoder.shape[1]:]

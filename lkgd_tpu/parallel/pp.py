@@ -34,6 +34,34 @@ def stack_block_params(params, num_blocks: int, prefix: str = "transformer_block
     return jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
 
 
+def cogvideox_pp_blocks(cfg, params, mesh: Mesh, num_microbatches: int,
+                        axis: str = STAGE_AXIS, dtype=None):
+    """Build a ``blocks_override`` callback for ``CogVideoXTransformer3D.__call__``:
+    the full forward (embeddings and head replicated) with the 42-block stack executed
+    as a GPipe pipeline over the mesh ``stage`` axis. ``params`` is the transformer's
+    full variable dict (``{"params": ...}``); the per-block subtrees are stacked and
+    stage-sharded here, the rest stays untouched."""
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.cogvideox import CogVideoXBlock
+
+    stacked = stack_block_params(params["params"], cfg.num_layers)
+    block = CogVideoXBlock(cfg, "pp", dtype=dtype or jnp.float32)
+
+    def step(lp, st, cst):
+        hid, enc = block.apply({"params": lp}, st["hidden"], st["encoder"],
+                               st["temb"], cst)
+        return {"hidden": hid, "encoder": enc, "temb": st["temb"]}
+
+    def blocks(hidden, encoder, emb, rope):
+        state = {"hidden": hidden, "encoder": encoder, "temb": emb}
+        out = gpipe(step, stacked, state, rope, mesh=mesh,
+                    num_microbatches=num_microbatches, axis=axis)
+        return out["hidden"], out["encoder"]
+
+    return blocks
+
+
 def gpipe(step_fn: Callable, stacked_params, state, consts, *, mesh: Mesh,
           num_microbatches: int, axis: str = STAGE_AXIS):
     """Run ``L`` layers over ``S = mesh.shape[axis]`` pipeline stages, GPipe-style.

@@ -94,3 +94,24 @@ class TestGPipeCogVideoX:
         for k in state:
             np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_full_forward_with_pp_blocks_matches_plain():
+    """End-to-end: CogVideoXTransformer3D.apply(blocks_override=gpipe blocks) ==
+    the plain forward — PP is consumable on the real model, not just the primitive."""
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+    from lkgd_tpu.parallel.pp import cogvideox_pp_blocks
+
+    cfg = dataclasses.replace(CogVideoXConfig.tiny(), num_layers=4)
+    model = CogVideoXTransformer3D(cfg)
+    b = 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, 2, 4, 4, 8))
+    pe = jax.random.normal(jax.random.PRNGKey(1), (b, 8, cfg.text_embed_dim))
+    ts = jnp.zeros((b,))
+    params = model.init(jax.random.PRNGKey(2), x, pe, ts)
+    want = model.apply(params, x, pe, ts)
+
+    mesh = make_mesh({"stage": 4}, jax.devices()[:4])
+    blocks = cogvideox_pp_blocks(cfg, params, mesh, num_microbatches=2)
+    got = model.apply(params, x, pe, ts, blocks_override=blocks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
