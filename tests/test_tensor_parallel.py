@@ -106,3 +106,28 @@ def test_tp_composes_with_context_parallel():
     with jax.set_mesh(mesh):
         out = pipe(sharded, prompt, img)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_3d_parallel_tp_sp_dp_compose():
+    """One 8-device mesh running ALL THREE at once: CFG batch over 'data', Ulysses
+    sequence-parallel attention over 'context', megatron TP weights over 'model' —
+    output must match the plain single-program pipeline."""
+    import dataclasses as dc
+
+    mesh = make_mesh({"data": 2, "context": 2, "model": 2})
+    tcfg = dc.replace(CogVideoXConfig.tiny(), num_attention_heads=4,
+                      sequence_parallel="ulysses")
+    ref_cfg = dc.replace(CogVideoXConfig.tiny(), num_attention_heads=4)
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=25,
+                                   num_inference_steps=2)
+
+    pipe0 = CogVideoXImageToVideoPipeline(pcfg, ref_cfg, dtype=jnp.float32)
+    params = pipe0.init_params(jax.random.PRNGKey(0))
+    prompt, img = jnp.ones((1, 8, 64)), jnp.ones((1, 4, 4, 4))
+    ref = pipe0(params, prompt, img)
+
+    sharded = shard_params(mesh, params, cogvideox_tp_specs(params))
+    pipe = CogVideoXImageToVideoPipeline(pcfg, tcfg, dtype=jnp.float32, mesh=mesh)
+    with jax.set_mesh(mesh):
+        out = pipe(sharded, prompt, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
