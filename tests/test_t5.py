@@ -57,3 +57,25 @@ def test_relative_bias_long_range_buckets():
         want = ref(input_ids=torch.tensor(ids, dtype=torch.long)).last_hidden_state.numpy()
     got = T5Encoder(cfg).apply(params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_embed_text_cli_tiny(tmp_path):
+    """embed_text CLI smoke: prompts -> (B, L, D) .npy consumable by
+    run_inference_cogvideox --prompt-embeds."""
+    import os
+    import sys
+
+    import numpy as np
+
+    out = str(tmp_path / "emb.npy")
+    argv = sys.argv
+    sys.argv = ["embed_text", "--tiny", "--prompt", "a girl riding a horse",
+                "--prompt", "city at night", "--output", out]
+    try:
+        from lkgd_tpu.cli.embed_text import main
+        main()
+    finally:
+        sys.argv = argv
+    emb = np.load(out)
+    assert emb.ndim == 3 and emb.shape[0] == 2
+    assert np.isfinite(emb).all()
