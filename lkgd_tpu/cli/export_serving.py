@@ -30,7 +30,8 @@ def _specs(tree):
     return jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
 
 
-def export_cogvideox(output_dir: str, tiny: bool = False, platforms=("tpu", "cpu")):
+def export_cogvideox(output_dir: str, tiny: bool = False, platforms=("tpu", "cpu"),
+                     scheduler: str = "dpm"):
     """Export the I2V denoise program (DiT scan, CFG, scheduler fused in) and the
     chunked VAE decode as two artifacts + manifest."""
     import jax
@@ -45,9 +46,9 @@ def export_cogvideox(output_dir: str, tiny: bool = False, platforms=("tpu", "cpu
     tcfg = CogVideoXConfig.tiny() if tiny else CogVideoXConfig.cogvideox_5b_i2v()
     vcfg = CogVideoXVAEConfig.tiny() if tiny else CogVideoXVAEConfig()
     pcfg = (CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
-                                    num_inference_steps=2,
+                                    num_inference_steps=2, scheduler=scheduler,
                                     vae_scale_factor_spatial=4)
-            if tiny else CogVideoXPipelineConfig())
+            if tiny else CogVideoXPipelineConfig(scheduler=scheduler))
     dtype = jnp.float32 if tiny else jnp.bfloat16
     pipe = CogVideoXImageToVideoPipeline(pcfg, tcfg, dtype=dtype)
     vae = AutoencoderKLCogVideoX(vcfg, dtype=dtype)
@@ -211,6 +212,9 @@ def main():
     p.add_argument("--output", default="serving_artifacts")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
+    p.add_argument("--scheduler", choices=["ddim", "dpm"], default="dpm",
+                   help="sampler baked into the CogVideoX denoise artifact (matches "
+                   "run_inference_cogvideox.py's default dpm)")
     p.add_argument("--load", help="artifact dir: deserialize and smoke instead of export")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
@@ -219,7 +223,8 @@ def main():
     elif args.model == "svd":
         export_svd(args.output, tiny=args.tiny, platforms=tuple(args.platforms))
     else:
-        export_cogvideox(args.output, tiny=args.tiny, platforms=tuple(args.platforms))
+        export_cogvideox(args.output, tiny=args.tiny, platforms=tuple(args.platforms),
+                         scheduler=args.scheduler)
 
 
 if __name__ == "__main__":

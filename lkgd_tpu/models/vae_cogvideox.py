@@ -280,21 +280,6 @@ def tiled_encode(vae: AutoencoderKLCogVideoX, params, x: jnp.ndarray, *,
     ``tiled_encode``); composes with :func:`chunked_encode` per tile."""
     b, t, h, w, c = x.shape
     s = 2 ** (len(vae.config.block_out_channels) - 1)
-    th, tw = min(tile_height, h), min(tile_width, w)
-    th -= th % s
-    tw -= tw % s
-    stride_h = max(s, (int(th * (1 - overlap)) // s) * s)
-    stride_w = max(s, (int(tw * (1 - overlap)) // s) * s)
-
-    starts_h = list(range(0, max(h - th, 0) + 1, stride_h))
-    if starts_h[-1] + th < h:
-        starts_h.append(h - th)
-    starts_w = list(range(0, max(w - tw, 0) + 1, stride_w))
-    if starts_w[-1] + tw < w:
-        starts_w.append(w - tw)
-    if (starts_h[-1] + th != h) or (starts_w[-1] + tw != w):
-        raise ValueError(f"frame {h}x{w} not coverable by {th}x{tw} tiles "
-                         f"(must be multiples of {s})")
 
     if chunk_frames:
         def encode(p, xt):
@@ -302,17 +287,53 @@ def tiled_encode(vae: AutoencoderKLCogVideoX, params, x: jnp.ndarray, *,
     else:
         encode = _encode_fns(vae)[0]
 
-    t_out = None
+    out = _tiled_apply(lambda xt: encode(params, xt), x,
+                       tile_height, tile_width, overlap,
+                       to_out=lambda p: p // s, align=s)
+    assert out.shape[2:] == (h // s, w // s, vae.config.latent_channels), out.shape
+    return out
+
+
+def _blend_ramp(n: int, dtype) -> jnp.ndarray:
+    """0..1 linear ramp of length n (diffusers AutoencoderKLCogVideoX.blend_v/h:
+    b[y] = a[-n+y] * (1 - y/n) + b[y] * (y/n))."""
+    return (jnp.arange(n, dtype=dtype) / n)
+
+
+def _tiled_apply(fn, x: jnp.ndarray, th: int, tw: int, overlap: float, to_out,
+                 align: int = 1) -> jnp.ndarray:
+    """Shared tile-grid + blend-ramp stitcher for tiled_decode/tiled_encode.
+
+    ``fn(tile)`` maps an input tile to an output tile; ``to_out`` converts an input
+    spatial coordinate to the output grid (``p * s`` for decode, ``p // s`` for
+    encode). ``align`` constrains tile sizes/starts to multiples of s on the encode
+    side so latent coordinates stay integral. All tiles share one shape (edge tiles
+    are index-shifted inward, never shrunk); seams blend with linear ramps.
+    """
+    h, w = x.shape[2], x.shape[3]
+    if align > 1 and (h % align or w % align):
+        raise ValueError(f"frame {h}x{w} must be a multiple of {align} for tiling")
+    th, tw = min(th, h), min(tw, w)
+    th -= th % align
+    tw -= tw % align
+    stride_h = max(align, (int(th * (1 - overlap)) // align) * align)
+    stride_w = max(align, (int(tw * (1 - overlap)) // align) * align)
+
+    def starts(dim, tile, stride):
+        out = list(range(0, max(dim - tile, 0) + 1, stride))
+        if out[-1] + tile < dim:
+            out.append(dim - tile)  # multiple of `align` because dim and tile are
+        return out
+
     out = None
-    for i in starts_h:
+    for i in starts(h, th, stride_h):
         row = None
-        for j in starts_w:
-            tile = encode(params, x[:, :, i:i + th, j:j + tw])
-            t_out = tile.shape[1]
+        for j in starts(w, tw, stride_w):
+            tile = fn(x[:, :, i:i + th, j:j + tw])
             if row is None:
                 row = tile
             else:
-                ov = row.shape[3] - j // s  # latent-space overlap width
+                ov = row.shape[3] - to_out(j)  # overlap width on the output grid
                 ramp = _blend_ramp(ov, tile.dtype)[None, None, None, :, None]
                 blended = (row[:, :, :, row.shape[3] - ov:] * (1 - ramp)
                            + tile[:, :, :, :ov] * ramp)
@@ -322,20 +343,13 @@ def tiled_encode(vae: AutoencoderKLCogVideoX, params, x: jnp.ndarray, *,
         if out is None:
             out = row
         else:
-            ov = out.shape[2] - i // s
+            ov = out.shape[2] - to_out(i)
             ramp = _blend_ramp(ov, row.dtype)[None, None, :, None, None]
             blended = (out[:, :, out.shape[2] - ov:] * (1 - ramp)
                        + row[:, :, :ov] * ramp)
             out = jnp.concatenate(
                 [out[:, :, :out.shape[2] - ov], blended, row[:, :, ov:]], axis=2)
-    assert out.shape == (b, t_out, h // s, w // s, vae.config.latent_channels), out.shape
     return out
-
-
-def _blend_ramp(n: int, dtype) -> jnp.ndarray:
-    """0..1 linear ramp of length n (diffusers AutoencoderKLCogVideoX.blend_v/h:
-    b[y] = a[-n+y] * (1 - y/n) + b[y] * (y/n))."""
-    return (jnp.arange(n, dtype=dtype) / n)
 
 
 def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
@@ -353,18 +367,8 @@ def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
     the overlap blending absorbs the duplicated strip).
     """
     b, t, h, w, c = z.shape
-    th, tw = min(tile_latent_height, h), min(tile_latent_width, w)
-    # output scale factors, probed from the config (spatial 2x per level below the top)
+    # output scale factor, probed from the config (spatial 2x per level below the top)
     s = 2 ** (len(vae.config.block_out_channels) - 1)
-    stride_h = max(1, int(th * (1 - overlap)))
-    stride_w = max(1, int(tw * (1 - overlap)))
-
-    starts_h = list(range(0, max(h - th, 0) + 1, stride_h))
-    if starts_h[-1] + th < h:
-        starts_h.append(h - th)
-    starts_w = list(range(0, max(w - tw, 0) + 1, stride_w))
-    if starts_w[-1] + tw < w:
-        starts_w.append(w - tw)
 
     if chunk_latent_frames:
         def decode(p, zt):
@@ -372,32 +376,8 @@ def tiled_decode(vae: AutoencoderKLCogVideoX, params, z: jnp.ndarray, *,
     else:
         decode = _decode_fns(vae)[0]
 
-    t_out = None
-    out = None
-    for i in starts_h:
-        row = None
-        for j in starts_w:
-            tile = decode(params, z[:, :, i:i + th, j:j + tw])
-            t_out = tile.shape[1]
-            if row is None:
-                row = tile
-            else:
-                # horizontal blend: the strip's right edge fades into the tile's left
-                ov = row.shape[3] - j * s  # overlap width in output pixels
-                ramp = _blend_ramp(ov, tile.dtype)[None, None, None, :, None]
-                blended = (row[:, :, :, row.shape[3] - ov:] * (1 - ramp)
-                           + tile[:, :, :, :ov] * ramp)
-                row = jnp.concatenate(
-                    [row[:, :, :, :row.shape[3] - ov], blended, tile[:, :, :, ov:]],
-                    axis=3)
-        if out is None:
-            out = row
-        else:
-            ov = out.shape[2] - i * s  # overlap height in output pixels
-            ramp = _blend_ramp(ov, row.dtype)[None, None, :, None, None]
-            blended = (out[:, :, out.shape[2] - ov:] * (1 - ramp)
-                       + row[:, :, :ov] * ramp)
-            out = jnp.concatenate(
-                [out[:, :, :out.shape[2] - ov], blended, row[:, :, ov:]], axis=2)
-    assert out.shape == (b, t_out, h * s, w * s, vae.config.out_channels), out.shape
+    out = _tiled_apply(lambda zt: decode(params, zt), z,
+                       tile_latent_height, tile_latent_width, overlap,
+                       to_out=lambda p: p * s)
+    assert out.shape[2:] == (h * s, w * s, vae.config.out_channels), out.shape
     return out

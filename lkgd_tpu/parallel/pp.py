@@ -26,6 +26,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 STAGE_AXIS = "stage"
 
+_GPIPE_CACHE: dict = {}
+
 
 def stack_block_params(params, num_blocks: int, prefix: str = "transformer_blocks_"):
     """Stack the per-block param subtrees ``{prefix}{i}`` into one tree with a leading
@@ -119,12 +121,20 @@ def gpipe(step_fn: Callable, stacked_params, state, consts, *, mesh: Mesh,
             out)
         return out
 
-    spec_params = jax.tree.map(lambda _: P(axis), stacked_params)
-    spec_state = jax.tree.map(lambda _: P(), mb_state)
-    spec_consts = jax.tree.map(lambda _: P(), consts)
-    sm = jax.shard_map(run, mesh=mesh,
-                       in_specs=(spec_params, spec_state, spec_consts),
-                       out_specs=jax.tree.map(lambda _: P(), mb_state),
-                       check_vma=False)
-    out = jax.jit(sm)(stacked_params, mb_state, consts)
+    # cache the wrapped program per (step_fn, mesh, schedule, tree structures) so
+    # repeated calls (e.g. one per denoise step through blocks_override) reuse one
+    # jit cache instead of re-tracing a fresh closure every time
+    key = (step_fn, mesh, axis, M, jax.tree.structure(stacked_params),
+           jax.tree.structure(mb_state), jax.tree.structure(consts))
+    sm = _GPIPE_CACHE.get(key)
+    if sm is None:
+        spec_params = jax.tree.map(lambda _: P(axis), stacked_params)
+        spec_state = jax.tree.map(lambda _: P(), mb_state)
+        spec_consts = jax.tree.map(lambda _: P(), consts)
+        sm = jax.jit(jax.shard_map(run, mesh=mesh,
+                                   in_specs=(spec_params, spec_state, spec_consts),
+                                   out_specs=jax.tree.map(lambda _: P(), mb_state),
+                                   check_vma=False))
+        _GPIPE_CACHE[key] = sm
+    out = sm(stacked_params, mb_state, consts)
     return jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), out)

@@ -23,8 +23,6 @@ Equivalence + per-device-bytes tests: tests/test_tensor_parallel.py.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -62,15 +60,17 @@ def cogvideox_tp_specs(params, axis: str = MODEL_AXIS):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def fsdp_specs(params, axis: str = MODEL_AXIS, min_size: int = 2 ** 16,
-               axis_size: Optional[int] = None):
+def fsdp_specs(params, axis: str = MODEL_AXIS, min_size: int = 2 ** 16, *,
+               axis_size: int):
     """Model-agnostic weight sharding: each leaf >= ``min_size`` elements gets its
     largest axis divisible by ``axis_size`` sharded over ``axis`` (ZeRO-3 analog —
-    GSPMD all-gathers at use). Leaves with no divisible axis stay replicated."""
+    GSPMD all-gathers at use). Leaves with no divisible axis stay replicated.
+    ``axis_size`` (the mesh's ``axis`` extent) is required — omitting it would
+    silently produce an all-replicated tree."""
 
     def spec_for(path, leaf):
         del path
-        if leaf.size < min_size or axis_size is None:
+        if leaf.size < min_size:
             return P()
         dims = sorted(range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True)
         for d in dims:

@@ -159,7 +159,9 @@ class CogVideoXImageToVideoPipeline:
                 pred = predict(latents, i)
                 noise = jax.random.normal(jax.random.fold_in(sde_rng, i),
                                           latents.shape, jnp.float32)
-                latents, x0 = scheduler.step(schedule, pred, old_x0, i, latents, noise)
+                # V2V starts mid-schedule with no x0 history: guard the 2M branch
+                latents, x0 = scheduler.step(schedule, pred, old_x0, i, latents, noise,
+                                             have_history=i > start_index)
                 return (latents, x0), ()
 
             (latents, _), _ = jax.lax.scan(

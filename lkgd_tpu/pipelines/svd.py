@@ -265,17 +265,20 @@ class StableVideoDiffusionPipeline:
                                   method=AutoencoderKLTemporalDecoder.decode)
 
         n_chunks = z.shape[0]
-        if (self.mesh is not None and "context" in self.mesh.axis_names
-                and n_chunks % self.mesh.shape["context"] == 0 and n_chunks > 1):
-            # chunks decode in PARALLEL across the mesh context axis (each device
-            # decodes n_chunks/ctx chunks at once) instead of the sequential
-            # one-chip lax.map — the reference's decode_chunk_size loop has no
-            # multi-GPU analog; on a v5e-8 this divides decode wall-clock by ctx
+        ctx = (self.mesh.shape["context"] if self.mesh is not None
+               and "context" in self.mesh.axis_names else 1)
+        if ctx > 1 and n_chunks % ctx == 0:
+            # chunks decode in PARALLEL across the mesh context axis, ctx at a time
+            # (one chunk per device — the decode_chunk_size memory bound still holds
+            # per chip), groups sequential via lax.map: decode wall-clock / ctx.
+            # The reference's decode_chunk_size loop has no multi-GPU analog.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            z = jax.lax.with_sharding_constraint(
-                z, NamedSharding(self.mesh, P("context")))
-            frames = jax.vmap(dec)(z)
+            zg = z.reshape(n_chunks // ctx, ctx, *z.shape[1:])
+            zg = jax.lax.with_sharding_constraint(
+                zg, NamedSharding(self.mesh, P(None, "context")))
+            frames = jax.lax.map(jax.vmap(dec), zg)
+            frames = frames.reshape(n_chunks, *frames.shape[2:])
         else:
             frames = jax.lax.map(dec, z)
         frames = frames.reshape(b, t, cfg.height, cfg.width, 3)

@@ -59,11 +59,14 @@ class CogVideoXDPMScheduler(CogVideoXDDIMScheduler):
                            base.alphas_cumprod_prev, jnp.asarray(ok))
 
     def step(self, schedule: DPMSchedule, model_output: jnp.ndarray, old_x0, step_index,
-             sample: jnp.ndarray,
-             noise: jnp.ndarray | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             sample: jnp.ndarray, noise: jnp.ndarray | None = None,
+             have_history=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One SDE-DPM-Solver++(2M) update. ``old_x0`` is the previous step's returned
         x0 (ignored where ``second_order_ok`` is False — pass anything, e.g. zeros, at
         the first step). ``noise=None`` takes the deterministic mean update (z = 0).
+        ``have_history``: optional extra bool guard for loops that do not start at
+        schedule index 0 (V2V SDEdit starts mid-schedule with no x0 history — the
+        reference's ``old_pred_original_sample is None`` branch).
         Returns (prev_sample, x0)."""
         a_t = schedule.alphas_cumprod_t[step_index]
         a_prev = schedule.alphas_cumprod_prev[step_index]
@@ -87,6 +90,8 @@ class CogVideoXDPMScheduler(CogVideoXDDIMScheduler):
         a_back = schedule.alphas_cumprod_t[jnp.maximum(step_index - 1, 0)]
         h_last = _lamb(a_t) - _lamb(a_back)
         ok = schedule.second_order_ok[step_index]
+        if have_history is not None:
+            ok = jnp.logical_and(ok, have_history)
         r = jnp.where(ok, h_last / jnp.where(ok, h, 1.0), 1.0)
         old = old_x0.astype(jnp.float32) if old_x0 is not None else jnp.zeros_like(x0)
         denoised = jnp.where(ok, (1.0 + 1.0 / (2.0 * r)) * x0 - old / (2.0 * r), x0)

@@ -74,3 +74,38 @@ def test_pipeline_dpm_runs_and_differs_from_ddim():
     # same key -> bit-identical (explicit-PRNG determinism holds for the SDE sampler)
     lat_dpm2 = pipe_p(params, prompt, img)
     np.testing.assert_array_equal(np.asarray(lat_dpm), np.asarray(lat_dpm2))
+
+
+def test_have_history_guard_ignores_stale_x0():
+    """Mid-schedule starts (V2V SDEdit) have no x0 history: with have_history=False
+    the update must be independent of whatever is in old_x0 (the reference's
+    old_pred_original_sample-is-None first-order branch)."""
+    sched = CogVideoXDPMScheduler()
+    s = sched.set_timesteps(10)
+    i = 5
+    assert bool(s.second_order_ok[i])  # the mask alone would allow 2M here
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, 2, 2)), jnp.float32)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=x.shape), jnp.float32)
+    garbage1 = jnp.zeros_like(x)
+    garbage2 = jnp.full_like(x, 37.0)
+    a, _ = sched.step(s, v, garbage1, i, x, noise=None, have_history=False)
+    bb, _ = sched.step(s, v, garbage2, i, x, noise=None, have_history=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    c, _ = sched.step(s, v, garbage2, i, x, noise=None, have_history=True)
+    assert np.abs(np.asarray(c) - np.asarray(a)).max() > 1e-3
+
+
+def test_v2v_dpm_pipeline_runs():
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig
+    from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXPipelineConfig,
+                                                  CogVideoXVideoToVideoPipeline)
+    import dataclasses
+
+    tcfg = dataclasses.replace(CogVideoXConfig.tiny(), in_channels=4)
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
+                                   num_inference_steps=4, scheduler="dpm")
+    pipe = CogVideoXVideoToVideoPipeline(pcfg, tcfg, dtype=jnp.float32, strength=0.5)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    vid = jnp.ones((1, 3, 4, 4, 4)) * 0.1
+    lat = pipe(params, jnp.ones((1, 8, 64)), vid, rng=jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(lat).all())

@@ -23,8 +23,11 @@ def test_export_roundtrip_matches_live(tmp_path):
         prog = jexport.deserialize(f.read())
 
     tcfg = CogVideoXConfig.tiny()
+    # exporter default is the dpm sampler (matches the serving CLI) — the live
+    # pipeline for the bit-match must use the same
     pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
-                                   num_inference_steps=2, vae_scale_factor_spatial=4)
+                                   num_inference_steps=2, scheduler="dpm",
+                                   vae_scale_factor_spatial=4)
     pipe = CogVideoXImageToVideoPipeline(pcfg, tcfg, dtype=jnp.float32)
     params = pipe.init_params(jax.random.PRNGKey(3))
     prompt = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 64)), jnp.float32)
