@@ -44,6 +44,9 @@ def main():
                    "for 5B, pairs with dynamic CFG); ddim = deterministic")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke/testing)")
+    p.add_argument("--variant", choices=["1.0", "1.5"], default="1.0",
+                   help="1.5 = CogVideoX1.5-5B (temporal patching, 768x1360 base, "
+                   "81/161 frames @16fps; reference cli_demo.py RESOLUTION_MAP)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mesh", help="SPMD mesh axes as axis=size list, e.g. 'model=4' or "
                    "'data=2,context=2,model=2'. 'model' shards the transformer weights "
@@ -91,7 +94,12 @@ def main():
 
     if args.generate_type != "t2v" and not args.image:
         p.error(f"--image is required for --generate-type {args.generate_type}")
-    tcfg = CogVideoXConfig.tiny() if args.tiny else CogVideoXConfig.cogvideox_5b_i2v()
+    if args.tiny:
+        tcfg = CogVideoXConfig.tiny()
+    elif args.variant == "1.5":
+        tcfg = CogVideoXConfig.cogvideox1_5_5b_i2v()
+    else:
+        tcfg = CogVideoXConfig.cogvideox_5b_i2v()
     if args.generate_type in ("t2v", "v2v"):
         # T2V checkpoints have no image-condition channels (reference cli_demo.py:122)
         tcfg = dataclasses.replace(tcfg, in_channels=tcfg.out_channels)
@@ -209,6 +217,8 @@ def main():
                 return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
             video = np.asarray(decode(vae_params, latents))
+    # 1.5 temporal patching pads the latent clip; drop the extra decoded frames
+    video = video[:, :args.num_frames]
     write_video(args.output, video[0], fps=args.fps)
     print(f"wrote {args.output}: {video[0].shape}")
 

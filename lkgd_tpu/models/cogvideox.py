@@ -40,6 +40,10 @@ class CogVideoXConfig:
     text_embed_dim: int = 4096
     time_embed_dim: int = 512
     patch_size: int = 2
+    # CogVideoX 1.5: temporal patching — pairs of latent frames become one token row
+    # (reference cli_demo.py supports THUDM/CogVideoX1.5-5b*; diffusers patch_size_t).
+    # None = 1.0 behavior (per-frame 2D patches).
+    patch_size_t: int | None = None
     sample_frames: int = 49  # pixel frames; latent frames = (F-1)/4 + 1
     temporal_compression_ratio: int = 4
     max_text_seq_length: int = 226
@@ -65,6 +69,18 @@ class CogVideoXConfig:
     @classmethod
     def cogvideox_5b_i2v(cls, **kw) -> "CogVideoXConfig":
         return cls(**kw)
+
+    @classmethod
+    def cogvideox1_5_5b(cls, **kw) -> "CogVideoXConfig":
+        """CogVideoX 1.5 5B (T2V): temporal patching, 768x1360 base, 81/161 frames
+        at 16 fps (reference cli_demo.py RESOLUTION_MAP 'cogvideox1.5-5b')."""
+        kw.setdefault("in_channels", 16)
+        return cls(patch_size_t=2, sample_frames=81, rope_base_height=768,
+                   rope_base_width=1360, **kw)
+
+    @classmethod
+    def cogvideox1_5_5b_i2v(cls, **kw) -> "CogVideoXConfig":
+        return cls.cogvideox1_5_5b(in_channels=32, **kw)
 
     @classmethod
     def tiny(cls, **kw) -> "CogVideoXConfig":
@@ -230,11 +246,24 @@ class CogVideoXTransformer3D(nn.Module):
                 name="knowledge_fusion",
             )(encoder_hidden_states, domain_features, flow_features)
 
-        # 2. patch embedding: per-frame 2D patches + projected text tokens
-        video = hidden_states.reshape(b * t, h, w, c).astype(self.dtype)
-        video = nn.Conv(inner, (p, p), strides=(p, p), dtype=self.dtype,
-                        name="patch_embed_proj")(video)
-        video = video.reshape(b, t * (h // p) * (w // p), inner)
+        # 2. patch embedding: per-frame 2D patches (1.0) or spatio-temporal
+        # (pt, p, p) patches (1.5, diffusers patch_size_t) + projected text tokens
+        pt = cfg.patch_size_t
+        if pt is None:
+            video = hidden_states.reshape(b * t, h, w, c).astype(self.dtype)
+            video = nn.Conv(inner, (p, p), strides=(p, p), dtype=self.dtype,
+                            name="patch_embed_proj")(video)
+            video = video.reshape(b, t * (h // p) * (w // p), inner)
+        else:
+            if t % pt:
+                raise ValueError(f"{t} latent frames not a multiple of patch_size_t={pt}"
+                                 " (pad the latent clip — the pipeline does this)")
+            # feature order (pt, p, p, c), token order (t/pt, h/p, w/p)
+            v = hidden_states.astype(self.dtype).reshape(
+                b, t // pt, pt, h // p, p, w // p, p, c)
+            v = v.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                b, (t // pt) * (h // p) * (w // p), pt * p * p * c)
+            video = nn.Dense(inner, dtype=self.dtype, name="patch_embed_proj")(v)
         if cfg.sequence_parallel != "none":
             # pin the video-token axis to the SP mesh axis so every block's qkv
             # projections / FF run sequence-sharded and only attention communicates
@@ -245,7 +274,7 @@ class CogVideoXTransformer3D(nn.Module):
         text = nn.Dense(inner, dtype=self.dtype, name="patch_embed_text_proj")(
             encoder_hidden_states.astype(self.dtype))
 
-        rope = rope_3d(t, h // p, w // p, cfg.attention_head_dim)
+        rope = rope_3d(t // (pt or 1), h // p, w // p, cfg.attention_head_dim)
 
         hidden, encoder = video, text
         if blocks_override is not None and not self.is_initializing():
@@ -267,9 +296,15 @@ class CogVideoXTransformer3D(nn.Module):
         hidden = LayerNorm(1e-5, use_scale=False, use_bias=False, dtype=self.dtype,
                            name="norm_out_norm")(hidden)
         hidden = hidden * (1 + scale[:, None]) + shift[:, None]
-        hidden = nn.Dense(p * p * cfg.out_channels, dtype=self.dtype, name="proj_out")(hidden)
+        hidden = nn.Dense((pt or 1) * p * p * cfg.out_channels, dtype=self.dtype,
+                          name="proj_out")(hidden)
 
-        # 5. unpatchify
-        out = hidden.reshape(b, t, h // p, w // p, p, p, cfg.out_channels)
-        out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h, w, cfg.out_channels)
+        # 5. unpatchify (inverse of the embed's (pt, p, p, C) feature order)
+        if pt is None:
+            out = hidden.reshape(b, t, h // p, w // p, p, p, cfg.out_channels)
+            out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h, w, cfg.out_channels)
+        else:
+            out = hidden.reshape(b, t // pt, h // p, w // p, pt, p, p, cfg.out_channels)
+            out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, t, h, w,
+                                                                cfg.out_channels)
         return out

@@ -78,13 +78,19 @@ class CogVideoXImageToVideoPipeline:
         else:
             raise ValueError(f"unknown scheduler {config.scheduler!r}")
         self.schedule = self.scheduler.set_timesteps(config.num_inference_steps)
+        # CogVideoX 1.5 temporal patching: pad the latent clip up to a patch_size_t
+        # multiple (diffusers pipeline additional_frames; trim the extra decoded
+        # frames after the VAE)
+        pt = transformer_config.patch_size_t
+        lf = config.latent_frames
+        self.latent_frames = lf if not pt else -(-lf // pt) * pt
         self._generate = jax.jit(self._generate_impl)
 
     def init_params(self, rng: jax.Array) -> dict:
         cfg = self.config
         tcfg = self.transformer.config
-        latents = jnp.zeros((2, cfg.latent_frames, cfg.latent_height, cfg.latent_width,
-                             tcfg.in_channels), self.dtype)
+        latents = jnp.zeros((2, self.latent_frames, cfg.latent_height,
+                             cfg.latent_width, tcfg.in_channels), self.dtype)
         prompt = jnp.zeros((2, tcfg.max_text_seq_length, tcfg.text_embed_dim), self.dtype)
         dom = jnp.zeros((2, 1, 1000), self.dtype)
         return {"transformer": self.transformer.init(
@@ -100,7 +106,7 @@ class CogVideoXImageToVideoPipeline:
         (V2V SDEdit) instead of pure noise at step 0."""
         cfg = self.config
         b = prompt_embeds.shape[0]
-        f = cfg.latent_frames
+        f = self.latent_frames
 
         if init_latents is None:
             latents = jax.random.normal(
@@ -178,7 +184,7 @@ class CogVideoXImageToVideoPipeline:
     def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, image_latents,
                        rng, domain_features=None, flow_features=None):
         # image conditioning: first-frame latents, zeros for the rest (I2V)
-        b, f = prompt_embeds.shape[0], self.config.latent_frames
+        b, f = prompt_embeds.shape[0], self.latent_frames
         img = jnp.concatenate([
             image_latents[:, None],
             jnp.zeros((b, f - 1) + image_latents.shape[1:], image_latents.dtype)], axis=1)

@@ -395,3 +395,53 @@ def test_remat_forward_matches_and_grads_finite():
 
     grads = jax.grad(loss)(params)
     assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
+
+
+class TestCogVideoX15:
+    """CogVideoX 1.5 temporal patching (patch_size_t; reference cli_demo.py supports
+    THUDM/CogVideoX1.5-5b*)."""
+
+    def test_forward_shapes_and_odd_frames_raise(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(CogVideoXConfig.tiny(), patch_size_t=2)
+        model = CogVideoXTransformer3D(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4, 8))
+        pe = jax.random.normal(jax.random.PRNGKey(1), (1, 8, cfg.text_embed_dim))
+        params = model.init(jax.random.PRNGKey(2), x, pe, jnp.zeros((1,)))
+        out = model.apply(params, x, pe, jnp.zeros((1,)))
+        assert out.shape == (1, 4, 4, 4, 4)
+        assert bool(jnp.isfinite(out).all())
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            model.init(jax.random.PRNGKey(2), x[:, :3], pe, jnp.zeros((1,)))
+
+    def test_pipeline_pads_latent_frames(self):
+        import dataclasses as dc
+
+        from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXImageToVideoPipeline,
+                                                      CogVideoXPipelineConfig)
+
+        tcfg = dc.replace(CogVideoXConfig.tiny(), patch_size_t=2)
+        pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
+                                       num_inference_steps=2)
+        assert pcfg.latent_frames == 3  # odd — 1.5 needs a multiple of 2
+        pipe = CogVideoXImageToVideoPipeline(pcfg, tcfg, dtype=jnp.float32)
+        assert pipe.latent_frames == 4
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        lat = pipe(params, jnp.ones((1, 8, 64)), jnp.ones((1, 4, 4, 4)))
+        assert lat.shape == (1, 4, 4, 4, 4)
+        assert bool(jnp.isfinite(lat).all())
+
+    def test_1_5_preset_param_count(self):
+        import numpy as _np
+
+        m = CogVideoXTransformer3D(CogVideoXConfig.cogvideox1_5_5b(
+            knowledge_fusion=False))
+        shapes = jax.eval_shape(lambda: m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 60, 90, 16)),
+            jnp.zeros((1, 226, 4096)), jnp.zeros((1,))))
+        n = sum(int(_np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+        assert 5.0e9 < n < 6.5e9, f"got {n/1e9:.2f} B"
