@@ -44,9 +44,10 @@ def main():
                    "for 5B, pairs with dynamic CFG); ddim = deterministic")
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--tiny", action="store_true", help="tiny config (smoke/testing)")
-    p.add_argument("--variant", choices=["1.0", "1.5"], default="1.0",
+    p.add_argument("--variant", choices=["1.0", "1.5", "2b"], default="1.0",
                    help="1.5 = CogVideoX1.5-5B (temporal patching, 768x1360 base, "
-                   "81/161 frames @16fps; reference cli_demo.py RESOLUTION_MAP)")
+                   "81/161 frames @16fps); 2b = CogVideoX-2b (sincos positions, "
+                   "t2v/v2v only) — reference cli_demo.py model list")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mesh", help="SPMD mesh axes as axis=size list, e.g. 'model=4' or "
                    "'data=2,context=2,model=2'. 'model' shards the transformer weights "
@@ -98,6 +99,10 @@ def main():
         tcfg = CogVideoXConfig.tiny()
     elif args.variant == "1.5":
         tcfg = CogVideoXConfig.cogvideox1_5_5b_i2v()
+    elif args.variant == "2b":
+        if args.generate_type == "i2v":
+            p.error("CogVideoX-2b has no I2V checkpoint (t2v/v2v only)")
+        tcfg = CogVideoXConfig.cogvideox_2b()
     else:
         tcfg = CogVideoXConfig.cogvideox_5b_i2v()
     if args.generate_type in ("t2v", "v2v"):

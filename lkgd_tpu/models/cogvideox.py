@@ -49,6 +49,11 @@ class CogVideoXConfig:
     max_text_seq_length: int = 226
     rope_base_height: int = 480
     rope_base_width: int = 720
+    # CogVideoX-2b: no rotary embeddings — 3D sincos positions added to the video
+    # tokens in the patch embed (diffusers use_rotary_positional_embeddings=False)
+    use_rope: bool = True
+    spatial_interpolation_scale: float = 1.875
+    temporal_interpolation_scale: float = 1.0
     knowledge_fusion: bool = True
     lora: LoraRouter = EMPTY_ROUTER
     # Sequence parallelism over the video-token axis — the xDiT Ulysses/ring analog
@@ -69,6 +74,14 @@ class CogVideoXConfig:
     @classmethod
     def cogvideox_5b_i2v(cls, **kw) -> "CogVideoXConfig":
         return cls(**kw)
+
+    @classmethod
+    def cogvideox_2b(cls, **kw) -> "CogVideoXConfig":
+        """CogVideoX-2b (T2V): 30 layers x 30 heads, sincos positions instead of RoPE
+        (reference cli_demo.py supports THUDM/CogVideoX-2b)."""
+        kw.setdefault("in_channels", 16)
+        return cls(num_layers=30, num_attention_heads=30, attention_head_dim=64,
+                   use_rope=False, **kw)
 
     @classmethod
     def cogvideox1_5_5b(cls, **kw) -> "CogVideoXConfig":
@@ -119,6 +132,34 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     x2 = x[..., 1::2]
     rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
     return x * cos[None, :, None, :].astype(x.dtype) + rot * sin[None, :, None, :].astype(x.dtype)
+
+
+def _sincos_1d(dim: int, pos) -> "np.ndarray":
+    import numpy as np
+
+    omega = 1.0 / (10000.0 ** (np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)))
+    out = np.asarray(pos, np.float64)[:, None] * omega[None]
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def sincos_pos_embed_3d(dim: int, t: int, h: int, w: int,
+                        spatial_scale: float = 1.875,
+                        temporal_scale: float = 1.0) -> jnp.ndarray:
+    """3D sincos positional table (t*h*w, dim) for CogVideoX-2b — diffusers
+    ``get_3d_sincos_pos_embed``: 3/4 of the dim encodes the (h, w) grid (half each,
+    in diffusers' meshgrid order), 1/4 encodes time; grids divided by the
+    interpolation scales."""
+    import numpy as np
+
+    dim_sp, dim_t = 3 * dim // 4, dim // 4
+    gw, gh = np.meshgrid(np.arange(w) / spatial_scale, np.arange(h) / spatial_scale)
+    spatial = np.concatenate([_sincos_1d(dim_sp // 2, gw.reshape(-1)),
+                              _sincos_1d(dim_sp // 2, gh.reshape(-1))], axis=1)
+    temporal = _sincos_1d(dim_t, np.arange(t) / temporal_scale)
+    pos = np.concatenate([
+        np.repeat(temporal[:, None, :], h * w, axis=1),
+        np.repeat(spatial[None, :, :], t, axis=0)], axis=2)
+    return jnp.asarray(pos.reshape(t * h * w, dim), jnp.float32)
 
 
 class CogVideoXLayerNormZero(nn.Module):
@@ -274,7 +315,14 @@ class CogVideoXTransformer3D(nn.Module):
         text = nn.Dense(inner, dtype=self.dtype, name="patch_embed_text_proj")(
             encoder_hidden_states.astype(self.dtype))
 
-        rope = rope_3d(t // (pt or 1), h // p, w // p, cfg.attention_head_dim)
+        if cfg.use_rope:
+            rope = rope_3d(t // (pt or 1), h // p, w // p, cfg.attention_head_dim)
+        else:
+            rope = None  # 2b: sincos positions added to the video tokens instead
+            video = video + sincos_pos_embed_3d(
+                inner, t // (pt or 1), h // p, w // p,
+                cfg.spatial_interpolation_scale,
+                cfg.temporal_interpolation_scale).astype(video.dtype)[None]
 
         hidden, encoder = video, text
         if blocks_override is not None and not self.is_initializing():

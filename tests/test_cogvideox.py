@@ -445,3 +445,40 @@ class TestCogVideoX15:
             jnp.zeros((1, 226, 4096)), jnp.zeros((1,))))
         n = sum(int(_np.prod(x.shape)) for x in jax.tree.leaves(shapes))
         assert 5.0e9 < n < 6.5e9, f"got {n/1e9:.2f} B"
+
+
+class TestCogVideoX2B:
+    """CogVideoX-2b: sincos positions instead of RoPE (use_rope=False; reference
+    cli_demo.py supports THUDM/CogVideoX-2b)."""
+
+    def test_forward_runs_and_positions_matter(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(CogVideoXConfig.tiny(), use_rope=False)
+        model = CogVideoXTransformer3D(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 4, 8))
+        pe = jax.random.normal(jax.random.PRNGKey(1), (1, 8, cfg.text_embed_dim))
+        params = model.init(jax.random.PRNGKey(2), x, pe, jnp.zeros((1,)))
+        out = model.apply(params, x, pe, jnp.zeros((1,)))
+        assert out.shape == (1, 2, 4, 4, 4)
+        assert bool(jnp.isfinite(out).all())
+        # spatially permuting the input must NOT merely permute the output
+        # (the sincos table injects absolute positions)
+        xp = x[:, :, ::-1]
+        outp = model.apply(params, xp, pe, jnp.zeros((1,)))
+        assert np.abs(np.asarray(outp[:, :, ::-1]) - np.asarray(out)).max() > 1e-4
+
+    def test_2b_preset_param_count(self):
+        m = CogVideoXTransformer3D(CogVideoXConfig.cogvideox_2b(knowledge_fusion=False))
+        shapes = jax.eval_shape(lambda: m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 60, 90, 16)),
+            jnp.zeros((1, 226, 4096)), jnp.zeros((1,))))
+        n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+        assert 1.4e9 < n < 2.1e9, f"got {n/1e9:.2f} B"
+
+    def test_sincos_table_shape(self):
+        from lkgd_tpu.models.cogvideox import sincos_pos_embed_3d
+
+        pos = sincos_pos_embed_3d(64, 3, 4, 5)
+        assert pos.shape == (3 * 4 * 5, 64)
+        assert bool(jnp.isfinite(pos).all())
