@@ -85,12 +85,13 @@ def _flash_bound_kernel(q_ref, t_ref, k_ref, v_ref, o_ref, l_ref, l_scratch, acc
     @pl.when(j == n_k_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_scratch[...] / l_scratch[:, :1]).astype(o_ref.dtype)
-        # per-(batch, q-block) min row-sum — the underflow-guard signal; one lane vector
-        # per q block instead of the full (BH, S) row sums (whose write-back costs
-        # ~2.5 ms/call at S=9216/BH=140; this is free). Each (b, i) writes its OWN
-        # block — no cross-iteration read-modify-write, so the i grid dim stays safely
-        # 'parallel' even when Mosaic splits it across megacore TPUs.
-        l_ref[0, 0, :] = jnp.broadcast_to(jnp.min(l_scratch[:, 0])[None], (128,))
+        # per-(batch, q-block) min row-sum — the underflow-guard signal; one (8, 128)
+        # sublane tile per q block instead of the full (BH, S) row sums (whose
+        # write-back costs ~2.5 ms/call at S=9216/BH=140; this is free). The tile is
+        # the smallest block Mosaic accepts for the trailing two dims. Each (b, i)
+        # writes its OWN block — no cross-iteration read-modify-write, so the i grid
+        # dim stays safely 'parallel' even when Mosaic splits it across megacore TPUs.
+        l_ref[0, 0] = jnp.broadcast_to(jnp.min(l_scratch[:, 0])[None, None], (8, 128))
 
 
 def _bound_t(q, k, scale):
@@ -455,9 +456,9 @@ def _flash_bhsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, block_q: int, bl
                 pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             ],
             out_specs=(pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-                       pl.BlockSpec((1, 1, 128), lambda b, i, j: (b, i, 0))),
+                       pl.BlockSpec((1, 1, 8, 128), lambda b, i, j: (b, i, 0, 0))),
             out_shape=(jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-                       jax.ShapeDtypeStruct((bh, n_q, 128), jnp.float32)),
+                       jax.ShapeDtypeStruct((bh, n_q, 8, 128), jnp.float32)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, d), jnp.float32),
