@@ -325,11 +325,15 @@ class TemporalBasicTransformerBlock(nn.Module):
             adapters_out=self.lora.resolve(f"{self.block_path}.attn1", "to_out"),
         )(norm_x, num_frames)
         if self.joint is not None and self.joint.temporal:
+            # NOTE: the reference's temporal forward adds the joint branch UNSCALED —
+            # joint_scale is only applied in the spatial path (patch/patch.py:657-660 vs
+            # :500); set_joint_scale is never called with != 1.0 anywhere in the
+            # reference, but we match the graph exactly.
             joint_out = JointAttentionBranch(
                 self.dim, self.heads, self.dim_head, self.joint, self.block_path, self.lora,
                 temporal=True, dtype=self.dtype, name="joint")(
                     norm_x, num_frames, flip_frames=False)
-            attn_out = attn_out + joint_out * joint_scale
+            attn_out = attn_out + joint_out
         x = x + attn_out
 
         norm_x = LayerNorm(dtype=self.dtype, name="norm2")(x)

@@ -26,6 +26,13 @@ def _rfft_bases(n: int):
     ang = 2.0 * np.pi * k * t / n
     cos = np.cos(ang).T.astype(np.float32)  # (N, K)
     sin = np.sin(ang).T.astype(np.float32)  # (N, K)
+    # DC and (even-N) Nyquist bins are exactly real: zero their sin columns so the
+    # imaginary part is an exact +0.0, not rounding noise — downstream arctan2 phase
+    # extraction sits on the ±pi branch cut there, and a noise-signed imag flips the
+    # phase by 2*pi vs torch.angle (whose rfft imag is exactly zero).
+    sin[:, 0] = 0.0
+    if n % 2 == 0:
+        sin[:, -1] = 0.0
     return cos, sin
 
 
@@ -50,6 +57,11 @@ def rfft_real(x: jnp.ndarray):
     xf = x.astype(jnp.float32)
     re = jnp.dot(xf, jnp.asarray(cos), preferred_element_type=jnp.float32)
     im = -jnp.dot(xf, jnp.asarray(sin), preferred_element_type=jnp.float32)
+    # pin the exactly-real bins to +0.0 (a negated zero dot yields -0.0, which sits on
+    # the wrong side of the arctan2 +/-pi branch cut vs torch.angle)
+    im = im.at[..., 0].set(0.0)
+    if n % 2 == 0:
+        im = im.at[..., -1].set(0.0)
     return re, im
 
 

@@ -88,8 +88,17 @@ class TestJointAttention:
         # stream 0 must change (coupling); without joint it must not
         delta_coupled = float(jnp.abs(out2[0] - base[0]).max())
         assert delta_coupled > 1e-5
-        out_nojoint = model.apply(params, *args, joint_scale=0.0)
-        out2_nojoint = model.apply(params, sample2, *args[1:], joint_scale=0.0)
+        # joint_scale=0 silences the SPATIAL branch only: the reference's temporal
+        # forward adds its joint branch unscaled (patch/patch.py:657-660 — joint_scale
+        # appears only in the spatial path, :500), so test the off-switch on a
+        # spatial-only joint model.
+        model_sp = UNetSpatioTemporalCondition(dataclasses.replace(
+            TINY, joint=JointAttentionConfig(mask=(0, 1), spatial=True, temporal=False)))
+        params_sp = model_sp.init(jax.random.PRNGKey(0), *args)
+        params_sp = jax.tree_util.tree_map_with_path(
+            lambda p, v: v + 0.05 if "conv1n" in jax.tree_util.keystr(p) else v, params_sp)
+        out_nojoint = model_sp.apply(params_sp, *args, joint_scale=0.0)
+        out2_nojoint = model_sp.apply(params_sp, sample2, *args[1:], joint_scale=0.0)
         assert float(jnp.abs(out2_nojoint[0] - out_nojoint[0]).max()) < 1e-5
 
     def test_partner_perm(self):
