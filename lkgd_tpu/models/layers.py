@@ -114,32 +114,12 @@ class DenseWithLora(nn.Module):
 
 
 # --------------------------------------------------------------------------- attention
-class _ProjKernel(nn.Module):
-    """Declares (and returns) a bias-free projection kernel under this module's scope.
-
-    Exists so the fused-QKV path can place its parameters at exactly the paths the
-    unfused :class:`DenseWithLora` modules use (``to_q/kernel`` etc.) — same pytree, same
-    initializer — while the matmul itself runs once over the concatenated weights."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_features: int) -> jnp.ndarray:
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          (in_features, self.features))
-
-
-def fuse_qkv_enabled() -> bool:
-    """Fused-QKV self-attention: compute q, k, v as ONE (C, 3*H*D) matmul instead of
-    three (C, H*D) ones. At the UNet's top level the three N=320 dots run at 24 TF/s on
-    v5e while the wide dot runs at the 1280-wide rate (BASELINE.md "clean-layout bf16
-    matmul ceiling") — same FLOPs at ~2x the rate. Opt-in (LKGD_FUSED_QKV=1) until
-    measured on-chip."""
-    import os
-
-    return bool(os.environ.get("LKGD_FUSED_QKV"))
-
-
+# NOTE: a fused-QKV path (q/k/v as one (C, 3*H*D) matmul + packed-split Pallas firewall)
+# was built in round 2 on the theory that the three N=320 dots at 24 TF/s would run at
+# the ~63 TF/s wide-dot rate. Measured on v5e (BENCH r3 A/B): 27.03 s/clip fused vs
+# 26.89 s unfused — a 0.5% LOSS (XLA already co-schedules the three dots against the
+# same activations; the packed split costs more than the wide dot saves). Deleted; the
+# measurement lives in BASELINE.md "Session 7".
 def scaled_dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(B, S, H, D) attention. Delegates to XLA's fused path; a Pallas flash-attention
@@ -174,20 +154,6 @@ class Attention(nn.Module):
                  encoder_hidden_states: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = self.heads * self.dim_head
-        if (encoder_hidden_states is None and fuse_qkv_enabled()
-                and not (self.adapters_q or self.adapters_k or self.adapters_v)):
-            from lkgd_tpu.ops.attention import dot_product_attention_packed
-
-            c = hidden_states.shape[-1]
-            w = jnp.concatenate([_ProjKernel(inner, name=n)(c)
-                                 for n in ("to_q", "to_k", "to_v")], axis=1)
-            y = jnp.dot(hidden_states, w.astype(self.dtype),
-                        preferred_element_type=self.dtype)
-            out = dot_product_attention_packed(y, self.heads, mask=mask)
-            out = out.reshape(hidden_states.shape[0], hidden_states.shape[1], inner)
-            return DenseWithLora(self.query_dim, use_bias=self.out_bias,
-                                 adapters=self.adapters_out, dtype=self.dtype,
-                                 name="to_out")(out)
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         q = DenseWithLora(inner, use_bias=False, adapters=self.adapters_q, dtype=self.dtype,
                           name="to_q")(hidden_states)
@@ -247,25 +213,13 @@ class FrameAxisAttention(nn.Module):
         scale = self.dim_head**-0.5
         bt, hw, _ = hidden_states.shape
         b = bt // num_frames
-        if (encoder_hidden_states is None and fuse_qkv_enabled()
-                and not (self.adapters_q or self.adapters_k or self.adapters_v)):
-            # one wide matmul for all three projections (see fuse_qkv_enabled); the
-            # packed slices feed straight into the einsum contractions below, so no
-            # lane-misaligned copy materializes
-            c = hidden_states.shape[-1]
-            w = jnp.concatenate([_ProjKernel(inner, name=n)(c)
-                                 for n in ("to_q", "to_k", "to_v")], axis=1)
-            y = jnp.dot(hidden_states, w.astype(self.dtype),
-                        preferred_element_type=self.dtype)
-            q, k, v = jnp.split(y, 3, axis=-1)
-        else:
-            q = DenseWithLora(inner, use_bias=False, adapters=self.adapters_q,
-                              dtype=self.dtype, name="to_q")(hidden_states)
-            ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
-            k = DenseWithLora(inner, use_bias=False, adapters=self.adapters_k,
-                              dtype=self.dtype, name="to_k")(ctx)
-            v = DenseWithLora(inner, use_bias=False, adapters=self.adapters_v,
-                              dtype=self.dtype, name="to_v")(ctx)
+        q = DenseWithLora(inner, use_bias=False, adapters=self.adapters_q,
+                          dtype=self.dtype, name="to_q")(hidden_states)
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        k = DenseWithLora(inner, use_bias=False, adapters=self.adapters_k,
+                          dtype=self.dtype, name="to_k")(ctx)
+        v = DenseWithLora(inner, use_bias=False, adapters=self.adapters_v,
+                          dtype=self.dtype, name="to_v")(ctx)
         qh = q.reshape(b, num_frames, hw, self.heads, self.dim_head)
         if per_sample_ctx:
             # (B, L, inner): one K/V per sample, shared by all pixels

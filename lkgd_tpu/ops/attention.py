@@ -52,28 +52,6 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _xla_attention(q, k, v, mask)
 
 
-def dot_product_attention_packed(y: jnp.ndarray, heads: int,
-                                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Self-attention from packed projections ``y = x @ [Wq | Wk | Wv]`` (B, S, 3*H*D),
-    returning (B, S, H, D). The packed form exists so the three projections can run as
-    ONE wide matmul (see models/layers.py fused-QKV path); on the flash path the unpack
-    is a single Pallas relayout kernel, never a lane-misaligned XLA slice."""
-    b, s, c3 = y.shape
-    d = c3 // 3 // heads
-    if mask is None and not os.environ.get("LKGD_DISABLE_FLASH") \
-            and jax.default_backend() in ("tpu", "axon") and s >= _FLASH_MIN_SEQ:
-        from lkgd_tpu.ops.flash_attention import flash_attention_packed, supports_packed
-
-        if supports_packed(y.shape, heads):
-            try:
-                return flash_attention_packed(y, heads)
-            except Exception:  # pragma: no cover — fall back if kernel unavailable
-                pass
-    q, k, v = jnp.split(y, 3, axis=-1)
-    return _xla_attention(q.reshape(b, s, heads, d), k.reshape(b, s, heads, d),
-                          v.reshape(b, s, heads, d), mask)
-
-
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     scale = q.shape[-1] ** -0.5

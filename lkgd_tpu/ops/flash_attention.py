@@ -686,112 +686,3 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     else:
         out = out.reshape(b, h, sq_p, d).transpose(0, 2, 1, 3)
     return out[:, :s_q]
-
-
-# ------------------------------------------------------------- packed-QKV firewall
-# Fused-QKV self-attention (models/layers.py) computes q, k, v as ONE (B, S, 3*H*D)
-# matmul (three N=C dots at M~258k/K=320 run at 24 TF/s on v5e; one N=3C dot runs at the
-# 1280-wide rate — BASELINE.md "clean-layout bf16 matmul ceiling"). Slicing that packed
-# output at C-multiples (320, 640) is lane-misaligned for C=320, so instead of
-# jnp.split + 3x _split_heads, ONE relayout kernel unpacks all three operands — same
-# firewall layout-pinning property, a third of the kernel launches, and the misaligned
-# slice never exists outside VMEM.
-def _split_qkv_kernel(x_ref, q_ref, k_ref, v_ref, *, heads: int, d: int):
-    xb = x_ref[0]
-    c = heads * d
-    for h in range(heads):
-        q_ref[h] = xb[:, h * d:(h + 1) * d]
-        k_ref[h] = xb[:, c + h * d:c + (h + 1) * d]
-        v_ref[h] = xb[:, 2 * c + h * d:2 * c + (h + 1) * d]
-
-
-def _merge_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, d: int):
-    c = heads * d
-    for h in range(heads):
-        o_ref[0, :, h * d:(h + 1) * d] = q_ref[h]
-        o_ref[0, :, c + h * d:c + (h + 1) * d] = k_ref[h]
-        o_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d] = v_ref[h]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _split_qkv(y: jnp.ndarray, heads: int):
-    """(B, S, 3*H*D) packed projections -> three (B*H, S, D), all standard layout."""
-    b, s, c3 = y.shape
-    d = c3 // 3 // heads
-    bs = _pick_seq_block(s, c3, y.dtype.itemsize)
-    spec = pl.BlockSpec((heads, bs, d), lambda b, i: (b, i, 0))
-    shape = jax.ShapeDtypeStruct((b * heads, s, d), y.dtype)
-    return pl.pallas_call(
-        functools.partial(_split_qkv_kernel, heads=heads, d=d),
-        grid=(b, s // bs),
-        in_specs=[pl.BlockSpec((1, bs, c3), lambda b, i: (b, i, 0))],
-        out_specs=(spec, spec, spec),
-        out_shape=(shape, shape, shape),
-    )(y)
-
-
-def _merge_qkv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int) -> jnp.ndarray:
-    bh, s, d = q.shape
-    b = bh // heads
-    c3 = 3 * heads * d
-    bs = _pick_seq_block(s, c3, q.dtype.itemsize)
-    spec = pl.BlockSpec((heads, bs, d), lambda b, i: (b, i, 0))
-    return pl.pallas_call(
-        functools.partial(_merge_qkv_kernel, heads=heads, d=d),
-        grid=(b, s // bs),
-        in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((1, bs, c3), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, c3), q.dtype),
-    )(q, k, v)
-
-
-def _split_qkv_fwd(y, heads):
-    return _split_qkv(y, heads), None
-
-
-def _split_qkv_bwd(heads, _, g):
-    return (_merge_qkv(*g, heads),)
-
-
-_split_qkv.defvjp(_split_qkv_fwd, _split_qkv_bwd)
-
-
-def supports_packed(y_shape, heads: int) -> bool:
-    """Whether ``flash_attention_packed`` handles a (B, S, 3*H*D) packed projection."""
-    b, s, c3 = y_shape
-    if c3 % (3 * heads):
-        return False
-    d = c3 // 3 // heads
-    return _plan_blocks(s, s, d) is not None
-
-
-def flash_attention_packed(y: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """Self-attention from packed projections ``y = x @ [Wq | Wk | Wv]`` (B, S, 3*H*D),
-    returning (B, S, H, D). Same kernels as :func:`flash_attention`; only the operand
-    unpacking differs (one `_split_qkv` relayout instead of split + 3x `_split_heads`)."""
-    b, s, c3 = y.shape
-    d = c3 // 3 // heads
-    plan = _plan_blocks(s, s, d)
-    if plan is None:
-        raise ValueError(f"unsupported packed flash shapes S={s}, D={d}")
-    bq, bk, sq_p, sk_p = plan  # s_q == s_k, so sq_p == sk_p
-    if sq_p != s:
-        y = jnp.pad(y, ((0, 0), (0, sq_p - s), (0, 0)))
-    kv_valid = s if sk_p != s else None
-    itemsize = y.dtype.itemsize
-    firewall = (_pick_seq_block(sq_p, c3, itemsize) > 0
-                and _pick_seq_block(sq_p, heads * d, itemsize) > 0)
-    if firewall:
-        qt, kt, vt = _split_qkv(y, heads)
-    else:
-        # blocks too wide for VMEM: plain transposes, like flash_attention's fallback
-        q, k, v = jnp.split(y, 3, axis=-1)
-        qt = q.reshape(b, sq_p, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, sq_p, d)
-        kt = k.reshape(b, sk_p, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, sk_p, d)
-        vt = v.reshape(b, sk_p, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, sk_p, d)
-    out = _flash_core(qt, kt, vt, bq, bk, kv_valid)
-    if firewall and heads > 1:
-        out = _merge_heads(out, heads).reshape(b, sq_p, heads, d)
-    else:
-        out = out.reshape(b, heads, sq_p, d).transpose(0, 2, 1, 3)
-    return out[:, :s]
