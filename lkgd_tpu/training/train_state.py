@@ -46,15 +46,23 @@ def param_label_fn(trainable_predicate: Callable[[str], bool]):
 def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-2,
                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                    max_grad_norm: float = 1.0,
-                   trainable_predicate: Optional[Callable[[str], bool]] = None):
+                   trainable_predicate: Optional[Callable[[str], bool]] = None,
+                   use_8bit: bool = False):
     """AdamW (+ global-norm clip) with optional trainable-param masking.
 
     The reference uses bitsandbytes AdamW8bit or torch AdamW
-    (`train_svd_lora.py:1197-1217`); optax.adamw is the TPU equivalent."""
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
-    )
+    (`train_svd_lora.py:1197-1217`); optax.adamw is the TPU equivalent and
+    ``use_8bit=True`` selects the int8-moment variant (training/optim8bit.py, the
+    AdamW8bit memory analog)."""
+    if use_8bit:
+        from lkgd_tpu.training.optim8bit import adamw8bit
+
+        adam = adamw8bit(learning_rate, b1=b1, b2=b2, eps=eps,
+                         weight_decay=weight_decay)
+    else:
+        adam = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), adam)
     if trainable_predicate is None:
         return tx
     return optax.multi_transform(
