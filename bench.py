@@ -321,6 +321,81 @@ def bench_vae(reps):
     return (f"sec SVD VAE decode ({t}f x {zh * 8}x{zw * 8})", svd_s)
 
 
+def bench_mesh_dryrun():
+    """Compile (not run) the FULL-SIZE sharded inference program on a virtual 8-device
+    CPU mesh and report partitioned-HLO stats + a v5e-8 sec/clip projection.
+
+    The <10 s north star is a v5e-8 figure and only one chip is reachable here; this mode
+    turns the multi-chip story into numbers: per-step bytes over ICI by collective
+    (parallel/collective_audit.py) and a roofline projection combining the MEASURED
+    single-chip step time with v5e ICI bandwidth. Runs on the CPU backend (set by the
+    caller via jax.config) so it works during device outages too.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.configs import SVDUNetConfig
+    from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+    from lkgd_tpu.parallel import mesh as meshlib
+    from lkgd_tpu.parallel.collective_audit import audit_compiled, summarize
+
+    mesh = meshlib.make_mesh({"data": 2, "context": 4})
+    # 8-chip deployment shards the frame axis 4-way: 14 frames pad to 16 (the same
+    # padding discipline the smooth pipeline uses). Conservative for the projection —
+    # 2 extra frames = +14% FLOPs vs the measured 14-frame step.
+    B, T, H, W = 2, 16, 72, 128  # CFG-doubled full-size latents (576x1024)
+    cfg = SVDUNetConfig(num_frames=T)
+    unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sample = jax.ShapeDtypeStruct((B, T, H, W, cfg.in_channels), jnp.bfloat16,
+                                  sharding=NamedSharding(mesh, P("data", "context")))
+    ts = jax.ShapeDtypeStruct((B,), jnp.float32)
+    ehs = jax.ShapeDtypeStruct((B, 1, cfg.cross_attention_dim), jnp.bfloat16)
+    ids = jax.ShapeDtypeStruct((B, 3), jnp.float32)
+    pshapes = jax.eval_shape(lambda: unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, T, H, W, cfg.in_channels), jnp.bfloat16),
+        jnp.zeros((B,)), jnp.zeros((B, 1, cfg.cross_attention_dim), jnp.bfloat16),
+        jnp.zeros((B, 3))))
+    rep = NamedSharding(mesh, P())
+    pshapes = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep), pshapes)
+
+    t0 = time.time()
+    with jax.set_mesh(mesh):
+        compiled = jax.jit(
+            unet.apply,
+            out_shardings=NamedSharding(mesh, P("data", "context")),
+        ).lower(pshapes, sample, ts, ehs, ids).compile()
+    print(f"# partitioned compile {time.time()-t0:.1f}s (mesh data=2 context=4, "
+          f"14f 576x1024 CFG-doubled UNet step)", file=sys.stderr)
+
+    found = audit_compiled(compiled)
+    print(summarize(found), file=sys.stderr)
+    ici_bytes = sum(b for entries in found.values() for b, _ in entries)
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    # v5e roofline: 2D-torus ring collectives move result-bytes at ~2 ICI links/chip
+    # x 45 GB/s/link one-way = 90 GB/s effective per chip; compute scales ~1/8 from the
+    # measured single-chip step (1.04 s, BASELINE.md session 7).
+    single_chip_step = 1.04 * (16 / 14)  # measured 14f step, padded to 16f
+    ici_s = ici_bytes / 8 / 90e9
+    step_s = single_chip_step / 8 + ici_s
+    clip_s = 25 * step_s + 0.9 / 4 + 0.074  # + context-parallel VAE decode + encode
+    print(json.dumps({
+        "metric": "projected v5e-8 sec/clip (compile-audited, roofline)",
+        "value": round(clip_s, 3), "unit": "s",
+        "detail": {"ici_bytes_per_step": ici_bytes, "ici_s_per_step": round(ici_s, 4),
+                   "hlo_flops_per_step": flops,
+                   "collectives": {k: len(v) for k, v in found.items()}},
+        "vs_baseline": round(NORTH_STAR / clip_s, 3),
+    }))
+
+
 def _require_device(timeout_s: float = 180.0) -> None:
     """Fail fast (rc=1) if the backend hangs or is CPU: a dead device tunnel would
     otherwise hang jax.devices() indefinitely, and a silent CPU fallback would report a
@@ -343,6 +418,9 @@ def main():
     from lkgd_tpu.utils.compilation_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if os.environ.get("LKGD_BENCH_MESH") == "dryrun":
+        bench_mesh_dryrun()
+        return
     _require_device()
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))
     reps = int(os.environ.get("LKGD_BENCH_REPS", "3"))
