@@ -85,6 +85,16 @@ def main():
         cp.register_processor("lineart_anime",
                               make_lineart_anime_processor(params, cfg))
 
+    if args.annotation in ("softedge_hed", "scribble_hed"):
+        from lkgd_tpu.models.hed import make_hed_processor
+
+        if not args.weights:
+            raise SystemExit(f"--annotation {args.annotation} needs --weights "
+                             "(lllyasviel Annotators ControlNetHED.pth; external, "
+                             "egress-gated)")
+        cp.register_processor(args.annotation, make_hed_processor(
+            args.weights, scribble=args.annotation == "scribble_hed"))
+
     if args.annotation == "segmentation":
         import jax
 

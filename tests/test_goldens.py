@@ -95,3 +95,35 @@ def test_cogvideox_golden():
     out = model.apply(params, x, ctx, jnp.full((1,), 100.0), domain_features=dom,
                       flow_features=dom)
     _check("cogvideox_tiny", out)
+
+
+def test_blip_golden():
+    """BLIP captioner numerics frozen (the HF-parity test in tests/test_blip.py skips
+    without transformers; this asserts everywhere — VERDICT r2 weak item 7)."""
+    import dataclasses
+
+    from lkgd_tpu.models.blip import BlipCaptioner, BlipConfig
+
+    cfg = dataclasses.replace(
+        BlipConfig(), image_size=32, patch_size=16, vision_hidden=32, vision_layers=2,
+        vision_heads=2, vision_intermediate=64, vocab_size=64, text_hidden=32,
+        text_layers=2, text_heads=2, text_intermediate=64, bos_token_id=62,
+        sep_token_id=61)
+    model = BlipCaptioner(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    pixels = jax.random.uniform(keys[0], (1, 32, 32, 3))
+    ids = jax.random.randint(keys[1], (1, 6), 0, 60)
+    params = model.init(keys[2], pixels, ids)
+    _check("blip_tiny_logits", model.apply(params, pixels, ids))
+
+
+def test_depth_anything_golden():
+    """Depth-Anything numerics frozen (HF-parity test skips without transformers)."""
+    from lkgd_tpu.models.depth_anything import DepthAnything, DepthAnythingConfig
+
+    cfg = DepthAnythingConfig.tiny()
+    model = DepthAnything(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(6), 2)
+    pixels = jax.random.normal(keys[0], (1, 28, 28, 3)) * 0.5
+    params = model.init(keys[1], pixels)
+    _check("depth_anything_tiny", model.apply(params, pixels))
