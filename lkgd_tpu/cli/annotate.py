@@ -85,6 +85,15 @@ def main():
         cp.register_processor("lineart_anime",
                               make_lineart_anime_processor(params, cfg))
 
+    if args.annotation in ("lineart", "lineart_coarse"):
+        from lkgd_tpu.models.lineart import make_lineart_processor
+
+        if not args.weights:
+            raise SystemExit(f"--annotation {args.annotation} needs --weights "
+                             "(Informative-Drawings sk_model.pth fine / sk_model2.pth "
+                             "coarse; external, egress-gated)")
+        cp.register_processor(args.annotation, make_lineart_processor(args.weights))
+
     if args.annotation in ("softedge_hed", "scribble_hed"):
         from lkgd_tpu.models.hed import make_hed_processor
 
