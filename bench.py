@@ -13,8 +13,12 @@ Env overrides:
       base       the driver metric: plain img2vid (reference run_inference_svd.py)
       trans      LKGD flagship: joint attention (spatial+temporal, attn1n branch per
                  block) + 2 stream-masked r=64 LoRAs, [start, end] frame pair
-                 (reference run_inference_trans_svd.py)
-      controlnet ControlNet-SDV residuals on every step (reference run_inference.py)
+                 (reference run_inference_trans_svd.py).
+                 NOTE: on one 16 GB chip run with LKGD_BENCH_SEQ_CFG=1 — the
+                 batch-doubled 4-row joint batch crashes the TPU worker (measured
+                 r3 queue2); sequential CFG halves peak activation HBM.
+      controlnet ControlNet-SDV residuals on every step (reference run_inference.py).
+                 Same LKGD_BENCH_SEQ_CFG=1 note (RESOURCE_EXHAUSTED otherwise).
       smooth     long-video refiner: 28 frames re-denoised in 14-frame joint chunks
                  (reference run_inference_svd_smooth.py)
       cogvideox  ONE full-size CogVideoX-5B I2V DiT step (49f x 480x720 latents,
@@ -71,7 +75,11 @@ def _joint_unet(num_frames=14, lora_rank=64):
 def _pipeline_config(**kw):
     from lkgd_tpu.pipelines.svd import SVDPipelineConfig
 
-    base = dict(height=576, width=1024, num_frames=14, num_inference_steps=25,
+    # LKGD_BENCH_SIZE=WxH overrides the clip resolution (e.g. 576x320 — the
+    # reference's own trans-training resolution, train_scripts/train_svd_trans_lora.sh)
+    size = os.environ.get("LKGD_BENCH_SIZE")
+    w, h = (int(v) for v in size.split("x")) if size else (1024, 576)
+    base = dict(height=h, width=w, num_frames=14, num_inference_steps=25,
                 decode_chunk_size=14,
                 # CFG halves run sequentially (halved peak activation HBM) — the
                 # deployment setting for the 4-row trans batch on one 16 GB chip
@@ -146,9 +154,9 @@ def bench_trans(reps):
         config=_pipeline_config(), unet_config=_joint_unet(), dtype=jnp.bfloat16)
     params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
     jax.block_until_ready(params)
-    img = _rng_image((2, 576, 1024, 3))  # [start, end]
+    img = _rng_image((2, pipe.config.height, pipe.config.width, 3))  # [start, end]
     rng = jax.random.PRNGKey(1)
-    return ("sec/clip trans joint-attn (2 streams x 14f x 576x1024, 25 steps)",
+    return (f"sec/clip trans joint-attn (2 streams x 14f x {pipe.config.width}x{pipe.config.height}, 25 steps)",
             _time(lambda: pipe.generate(params, img, rng), reps, "trans"))
 
 
@@ -162,15 +170,15 @@ def bench_controlnet(reps):
         controlnet_config=ControlNetSDVConfig(unet=unet), dtype=jnp.bfloat16)
     params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
     jax.block_until_ready(params)
-    img = _rng_image((1, 576, 1024, 3))
-    ctrl = _rng_image((14, 576, 1024, 3))
+    img = _rng_image((1, pipe.config.height, pipe.config.width, 3))
+    ctrl = _rng_image((14, pipe.config.height, pipe.config.width, 3))
     rng = jax.random.PRNGKey(1)
 
     def run():  # control is a kwarg of the denoise program (base generate() lacks it)
         latents = pipe._generate(params, img, rng, control=ctrl)
         return pipe._decode(params["vae"], latents)
 
-    return ("sec/clip controlnet-sdv (14f x 576x1024, 25 steps)",
+    return (f"sec/clip controlnet-sdv (14f x {pipe.config.width}x{pipe.config.height}, 25 steps)",
             _time(run, reps, "controlnet"))
 
 
@@ -183,9 +191,9 @@ def bench_smooth(reps):
         start_step=10, total_frames=total)
     params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
     jax.block_until_ready(params)
-    video = _rng_image((total, 576, 1024, 3))
+    video = _rng_image((total, pipe.config.height, pipe.config.width, 3))
     rng = jax.random.PRNGKey(1)
-    return (f"sec/refine smooth ({total}f x 576x1024, steps 10..25, joint chunks)",
+    return (f"sec/refine smooth ({total}f x {pipe.config.width}x{pipe.config.height}, steps 10..25, joint chunks)",
             _time(lambda: pipe.generate(params, video, rng), reps, "smooth"))
 
 
