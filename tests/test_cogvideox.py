@@ -1,6 +1,7 @@
 """CogVideoX DiT, DDIM scheduler, I2V pipeline, train step (tiny configs)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -195,6 +196,7 @@ def test_cogvideox_v2v_pipeline_strength():
     assert d_gentle < d_strong
 
 
+@pytest.mark.slow
 def test_cogvideox_t2v_train_step_descends():
     import dataclasses
 
@@ -230,6 +232,7 @@ class TestTiledDecode:
         full = vae.apply(params, z, method=AutoencoderKLCogVideoX.decode)
         return vae, params, z, full
 
+    @pytest.mark.slow
     def test_single_tile_is_exact(self):
         from lkgd_tpu.models.vae_cogvideox import tiled_decode
 
@@ -373,6 +376,7 @@ class TestChunkedTiledEncode:
         assert bool(jnp.isfinite(tiled).all())
 
 
+@pytest.mark.slow
 def test_remat_forward_matches_and_grads_finite():
     """cfg.remat=True (5B training memory lever, DeepSpeed activation-checkpointing
     analog) must not change the forward values or the param tree."""

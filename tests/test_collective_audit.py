@@ -7,6 +7,7 @@ sharded moments), and Ulysses attention must lower to all-to-alls.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def test_inference_context_parallel_collectives():
     assert total_bytes > 0
 
 
+@pytest.mark.slow
 def test_zero_train_step_collectives():
     """ZeRO-pinned train step: gradients must be combined across 'data' (all-reduce or
     reduce-scatter in the optimized SPMD program)."""

@@ -56,6 +56,7 @@ def test_matches_hf_torch_oracle():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_key_map_covers_real_state_dict():
     """Every flax param comes from a real HF key; no key-map entry is stale."""
     hf, cfg = _tiny_pair()

@@ -3,9 +3,12 @@ serve-from-artifact-only, and the deserialized program must match the live pipel
 bit-for-bit given the same params and seed."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
+
+pytestmark = pytest.mark.slow  # whole-pipeline jax.export compiles (~2-3 min)
 
 def test_export_roundtrip_matches_live(tmp_path):
     from jax import export as jexport

@@ -99,6 +99,7 @@ def test_inception_e_max_pool_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_inception_full_forward_and_manifest():
     params = fid_inception.init_synthetic(jax.random.PRNGKey(0))
     feats = fid_inception.inception_v3_features(params, jnp.ones((2, 64, 64, 3)) * 0.5)
@@ -166,6 +167,7 @@ def test_unit3d_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_i3d_forward_manifest_and_porter():
     params = i3d.init_synthetic(jax.random.PRNGKey(0))
     feats = i3d.i3d_features(params, jnp.ones((1, 16, 64, 64, 3)) * 0.5)

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -83,6 +84,7 @@ class TestPipeline:
 
 
 class TestMultiDevice:
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__
 

@@ -39,6 +39,7 @@ PCFG = SVDPipelineConfig(height=64, width=64, num_frames=4, num_inference_steps=
 rng_img = np.random.default_rng(0)
 
 
+@pytest.mark.slow
 def test_trans_pipeline():
     pipe = StableVideoDiffusionTransPipeline(config=PCFG, unet_config=JOINT_UNET, **KW)
     params = pipe.init_params(jax.random.PRNGKey(0))

@@ -4,6 +4,7 @@ with full coverage (strict mode). Exercises the diffusers naming rules end to en
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def _assert_trees_equal(a, b):
 
 
 class TestUNetPorting:
+    @pytest.mark.slow
     def test_roundtrip_base(self):
         model = UNetSpatioTemporalCondition(TINY)
         args = (jnp.ones((2, 2, 16, 16, 8)), jnp.zeros((2,)), jnp.ones((2, 1, 64)),

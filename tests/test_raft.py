@@ -73,6 +73,7 @@ def test_batch_norm_matches_torch_eval():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_raft_tiny_forward_and_bidirectional():
     cfg = RAFTConfig.tiny()
     model = RAFT(cfg)

@@ -85,6 +85,7 @@ def _build_torch_ifnet(c):
 
 
 class TestRIFEParity:
+    @pytest.mark.slow
     def test_ifnet_matches_torch_with_ported_weights(self):
         torch = pytest.importorskip("torch")
         c = 16

@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +37,7 @@ class TestUNet2D:
         assert np.abs(np.asarray(out[0] - out2[0])).max() > 1e-5
         np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-6)
 
+    @pytest.mark.slow
     def test_inpaint_channels_and_cond_embedding(self):
         cfg = dataclasses.replace(TINY_UNET, in_channels=9, cond_embedding_channels=3)
         m = UNet2DCondition(cfg)

@@ -45,6 +45,7 @@ def test_matches_hf_segformer():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_segmentation_processor_smoke():
     cfg = SegformerConfig.tiny()
     model = SegformerForSemanticSegmentation(cfg)

@@ -2,6 +2,7 @@
 replicated inference, and each device must hold a real fraction of the weights."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +62,7 @@ def test_cogvideox_fsdp_matches_replicated():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_svd_fsdp_matches_replicated():
     """SVD pipeline with FSDP-sharded weights (the CLI --model-parallel path) must match
     replicated-weight inference bit-for-bit at fp32 tolerance."""

@@ -46,6 +46,7 @@ def _setup():
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_and_frozen_params_fixed(self):
         unet, step, state, batch, trainable = _setup()
         jstep = jax.jit(step)
@@ -71,6 +72,7 @@ class TestTrainStep:
 
 
 class TestTrainerLoop:
+    @pytest.mark.slow
     def test_fit_checkpoint_resume(self, tmp_path):
         unet, step, state, batch, trainable = _setup()
         cfg = TrainerConfig(output_dir=str(tmp_path), max_steps=5, checkpoint_every=2,

@@ -1,6 +1,7 @@
 """Flow-video training prep (train_svd_of*) + joint-stream sigma tying."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _flow_fn_and_vae(h, w):
 
 
 class TestFlowBatchPrep:
+    @pytest.mark.slow
     def test_of_mode_shapes_and_normalization(self):
         h = w = 32
         flow_fn, vae, vp = _flow_fn_and_vae(h, w)
@@ -58,6 +60,7 @@ class TestFlowBatchPrep:
 
 
 class TestTiedStreamPairs:
+    @pytest.mark.slow
     def test_trans_style_train_step_runs(self):
         from lkgd_tpu.models.configs import (JointAttentionConfig, LoraRouter, LoraRule,
                                              SVDUNetConfig)

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ TINY = SVDUNetConfig(
     layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=64)
 
 
+@pytest.mark.slow
 def test_controlnet_training_descends_with_frozen_unet():
     unet = UNetSpatioTemporalCondition(TINY)
     cn = ControlNetSDV(ControlNetSDVConfig(
@@ -64,6 +66,7 @@ def test_batch_transforms():
     np.testing.assert_array_equal(np.asarray(pairs[2]), np.asarray(lat[0, 4:8]))
 
 
+@pytest.mark.slow
 def test_validation_sampler(tmp_path):
     from lkgd_tpu.models.clip_vision import CLIPVisionConfig
     from lkgd_tpu.models.vae_temporal import TemporalVAEConfig

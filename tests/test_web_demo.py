@@ -68,6 +68,7 @@ def test_generate_error_surfaces(server):
     assert e.value.code == 500
 
 
+@pytest.mark.slow
 def test_cogvideox_generate_fn_tiny():
     """The CogVideoX demo adapter (composite-demo analog) produces a uint8 video from a
     start frame on the tiny config end to end."""

@@ -37,6 +37,7 @@ def _setup():
     return params, opt, step, batch
 
 
+@pytest.mark.slow
 def test_zero_moments_stay_sharded_and_match_replicated():
     mesh = make_mesh({"data": 4}, jax.devices()[:4])
     params, opt, train_step, batch = _setup()
