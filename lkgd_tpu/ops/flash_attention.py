@@ -22,21 +22,19 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _mask_padded_keys(s, block_start, kv_valid):
-    """-inf the logit columns whose key position >= kv_valid (sequence padding)."""
-    pos = block_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    return jnp.where(pos < kv_valid, s, _NEG_INF)
-
-
 def _mask_if_padded(s, block_start, block_k, kv_valid):
-    """Padded-key mask, skipped for fully-valid k blocks. Padding is always < block_k
-    (sequences pad up to the next block multiple), so at most the last block pays the
-    iota+where VPU cost — e.g. 1 of 18 blocks at CogVideoX S=17776 instead of all 18."""
-    return jax.lax.cond(
-        block_start + block_k > kv_valid,
-        lambda x: _mask_padded_keys(x, block_start, kv_valid),
-        lambda x: x,
-        s)
+    """Padded-key mask as an O(block_k) additive row bias, applied unconditionally.
+
+    The previous form — per-element iota+cmp+select under a jax.lax.cond meant to skip
+    fully-valid blocks — is PREDICATED by Mosaic: both branches execute on every block,
+    and the kernel ran at 41.4 vs 82.3 TF/s at the CogVideoX shape (S=17776 padded to
+    18432, BH=96; experiments/flash_mask_microbench.py). A (1, block_k) bias row
+    (0 for valid columns, -inf for padding) broadcast-added into the logits fuses into
+    the same epilogue as the bound subtract, costing one VPU add per element on every
+    block — measured ~free next to the exp2."""
+    pos = block_start + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+    bias = jnp.where(pos < kv_valid, 0.0, _NEG_INF).astype(s.dtype)
+    return s + bias
 
 
 def _flash_bound_kernel(q_ref, t_ref, k_ref, v_ref, o_ref, l_ref, l_scratch, acc_scratch,
