@@ -36,6 +36,10 @@ TINY = dict(block_out_channels=(32, 64),
             up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
             layers_per_block=1, num_attention_heads=(2, 4), cross_attention_dim=64)
 
+COG_FIELDS = ("num_layers", "num_attention_heads", "attention_head_dim", "in_channels",
+              "out_channels", "text_embed_dim", "time_embed_dim", "patch_size",
+              "patch_size_t", "max_text_seq_length", "use_rope", "knowledge_fusion")
+
 
 def _config_from_dict(d: dict):
     from lkgd_tpu.models.configs import SVDUNetConfig
@@ -53,7 +57,8 @@ def _resolve_weights(path: str) -> str:
         return path
     for cand in ("diffusion_pytorch_model.safetensors",
                  os.path.join("unet", "diffusion_pytorch_model.safetensors"),
-                 "unet.safetensors"):
+                 os.path.join("transformer", "diffusion_pytorch_model.safetensors"),
+                 "unet.safetensors", "transformer.safetensors"):
         p = os.path.join(path, cand)
         if os.path.exists(p):
             return p
@@ -61,15 +66,69 @@ def _resolve_weights(path: str) -> str:
 
 
 def _build(config_dict: dict, dtype):
+    if config_dict.get("model") == "cogvideox":
+        import dataclasses as _dc
+
+        from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+
+        fields = {f.name for f in _dc.fields(CogVideoXConfig)}
+        clean = {k: v for k, v in config_dict.items() if k in fields}
+        return CogVideoXTransformer3D(CogVideoXConfig(**clean), dtype=dtype)
     from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
 
     return UNetSpatioTemporalCondition(_config_from_dict(config_dict), dtype=dtype)
+
+
+def _record_cogvideox(args) -> None:
+    """CogVideoX record mode: one DiT denoise forward (the second model family;
+    reference CogVideo-main/finetune/models/cogvideox_i2v/cogvideox_transformer_3d.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+
+    cfg = (CogVideoXConfig.tiny() if args.config == "tiny"
+           else CogVideoXConfig.cogvideox_5b_i2v())
+    if args.config_json:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, **json.loads(args.config_json))
+    model = CogVideoXTransformer3D(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(args.seed)
+    b, t = args.batch, args.frames
+    h, w = args.height // 8, args.width // 8
+    sample = rng.standard_normal((b, t, h, w, cfg.in_channels)).astype(np.float32)
+    text = rng.standard_normal((b, cfg.max_text_seq_length,
+                                cfg.text_embed_dim)).astype(np.float32) * 0.3
+    timestep = np.full((b,), 500.0, np.float32)
+
+    if args.checkpoint:
+        import jax as _jax
+
+        from lkgd_tpu.utils import porting
+
+        template = _jax.eval_shape(lambda: model.init(
+            _jax.random.PRNGKey(0), sample, text, timestep))
+        params = porting.port_cogvideox(
+            porting.load_state_dict(_resolve_weights(args.checkpoint)), template,
+            strict=not args.lenient)
+    else:
+        params = model.init(jax.random.PRNGKey(args.seed), sample, text, timestep)
+    out = np.asarray(jax.jit(model.apply)(params, sample, text, timestep))
+    np.savez_compressed(
+        args.out, sample=sample, timestep=timestep, encoder_hidden_states=text,
+        output=out,
+        config=json.dumps({"model": "cogvideox",
+                           **{k: getattr(cfg, k) for k in COG_FIELDS}}))
+    print(f"recorded {out.shape} cogvideox denoise output -> {args.out}")
 
 
 def record(args) -> None:
     import jax
     import jax.numpy as jnp
 
+    if args.model == "cogvideox":
+        return _record_cogvideox(args)
     cfg_dict = TINY if args.config == "tiny" else {}
     if args.config_json:
         cfg_dict = {**cfg_dict, **json.loads(args.config_json)}
@@ -114,14 +173,19 @@ def check(args) -> int:
     cfg_dict = json.loads(str(rec["config"]))
     unet = _build(cfg_dict, jnp.float32)
     sample = rec["sample"]
-    inputs = (sample, rec["timestep"], rec["encoder_hidden_states"],
-              rec["added_time_ids"])
+    is_cog = cfg_dict.get("model") == "cogvideox"
+    if is_cog:
+        inputs = (sample, rec["encoder_hidden_states"], rec["timestep"])
+    else:
+        inputs = (sample, rec["timestep"], rec["encoder_hidden_states"],
+                  rec["added_time_ids"])
 
     from lkgd_tpu.utils import porting
 
     template = jax.eval_shape(lambda: unet.init(jax.random.PRNGKey(0), *inputs))
-    params = porting.port_svd_unet(
-        porting.load_safetensors(_resolve_weights(args.checkpoint)), template,
+    porter = porting.port_cogvideox if is_cog else porting.port_svd_unet
+    params = porter(
+        porting.load_state_dict(_resolve_weights(args.checkpoint)), template,
         strict=not args.lenient)
     got = np.asarray(jax.jit(unet.apply)(params, *inputs), np.float32)
     want = np.asarray(rec["output"], np.float32)
@@ -150,6 +214,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="mode", required=True)
     pr = sub.add_parser("record")
     pr.add_argument("--out", required=True)
+    pr.add_argument("--model", default="svd", choices=["svd", "cogvideox"])
     pr.add_argument("--config", default="tiny", choices=["tiny", "svd-xt"])
     pr.add_argument("--config-json", help="extra SVDUNetConfig field overrides")
     pr.add_argument("--checkpoint", help="optional safetensors to record WITH real weights")

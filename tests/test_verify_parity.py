@@ -61,3 +61,39 @@ def test_parity_harness_roundtrip(tmp_path):
                              "--report", report])
     assert rc == 1
     assert not json.load(open(report))["pass"]
+
+
+def test_parity_harness_cogvideox_roundtrip(tmp_path):
+    """The second model family through the same record/check loop: synthetic
+    CogVideoX checkpoint in diffusers naming -> record -> check passes."""
+    from safetensors.numpy import save_file
+
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+
+    tmp = str(tmp_path)
+    cfg = CogVideoXConfig.tiny()
+    model = CogVideoXTransformer3D(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 2, 8, 8, cfg.in_channels)),
+                        jnp.ones((1, cfg.max_text_seq_length, cfg.text_embed_dim)),
+                        jnp.zeros((1,)),
+                        domain_features=jnp.ones((1, 1, 48)),
+                        flow_features=jnp.ones((1, 1, 48)))
+    rng = np.random.default_rng(5)
+    params = jax.tree.map(
+        lambda x: (rng.standard_normal(np.shape(x)) * 0.05).astype(np.float32), params)
+    sd = porting.export_state_dict(params, key_map=porting.cogvideox_export_key_map)
+    ckpt = os.path.join(tmp, "diffusion_pytorch_model.safetensors")
+    save_file(sd, ckpt)
+
+    rec = os.path.join(tmp, "cog_rec.npz")
+    report = os.path.join(tmp, "cog_report.json")
+    rc = verify_parity.main(["record", "--model", "cogvideox", "--out", rec,
+                             "--config", "tiny", "--checkpoint", ckpt,
+                             "--batch", "1", "--frames", "2",
+                             "--height", "64", "--width", "64"])
+    assert rc == 0 and os.path.exists(rec)
+    rc = verify_parity.main(["check", "--record", rec, "--checkpoint", ckpt,
+                             "--report", report])
+    assert rc == 0
+    rep = json.load(open(report))
+    assert rep["pass"] and rep["max_abs_err"] < 1e-5
