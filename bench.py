@@ -147,12 +147,28 @@ def bench_base(small, reps):
     return label, _time(lambda: pipe.generate(params, img, rng), reps, label)
 
 
+
+def _synthetic_bf16_params(init_fn, *init_args):
+    """Materialize params as bf16 random leaves from the eval_shape tree — a perf
+    measurement needs realistic shapes, not trained values, and a full fp32 init + cast
+    holds ~3x the param bytes transiently (the 2.2B-param joint/controlnet configs OOM
+    the 16 GB chip that way; bench_cogvideox has always used this path for its 5.6B)."""
+    shapes = jax.eval_shape(init_fn, *init_args)
+    leaves, treedef = jax.tree.flatten(shapes)
+    key = jax.random.PRNGKey(0)
+    out = []
+    for i, leaf in enumerate(leaves):
+        out.append(jax.random.normal(jax.random.fold_in(key, i), leaf.shape,
+                                     jnp.bfloat16) * 0.02)
+    return jax.tree.unflatten(treedef, out)
+
+
 def bench_trans(reps):
     from lkgd_tpu.pipelines.svd_trans import StableVideoDiffusionTransPipeline
 
     pipe = StableVideoDiffusionTransPipeline(
         config=_pipeline_config(), unet_config=_joint_unet(), dtype=jnp.bfloat16)
-    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
+    params = _synthetic_bf16_params(pipe.init_params, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     img = _rng_image((2, pipe.config.height, pipe.config.width, 3))  # [start, end]
     rng = jax.random.PRNGKey(1)
@@ -168,7 +184,7 @@ def bench_controlnet(reps):
     pipe = StableVideoDiffusionControlNetPipeline(
         config=_pipeline_config(), unet_config=unet,
         controlnet_config=ControlNetSDVConfig(unet=unet), dtype=jnp.bfloat16)
-    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
+    params = _synthetic_bf16_params(pipe.init_params, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     img = _rng_image((1, pipe.config.height, pipe.config.width, 3))
     ctrl = _rng_image((14, pipe.config.height, pipe.config.width, 3))
@@ -189,7 +205,7 @@ def bench_smooth(reps):
     pipe = StableVideoDiffusionSmoothPipeline(
         config=_pipeline_config(), unet_config=_joint_unet(), dtype=jnp.bfloat16,
         start_step=10, total_frames=total)
-    params = _bf16(jax.jit(pipe.init_params)(jax.random.PRNGKey(0)))
+    params = _synthetic_bf16_params(pipe.init_params, jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     video = _rng_image((total, pipe.config.height, pipe.config.width, 3))
     rng = jax.random.PRNGKey(1)
