@@ -38,6 +38,9 @@ def main():
                    "adapters (reference CogVideo-main finetune sft mode; combine "
                    "with --remat and ZeRO opt-state sharding at scale)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use-8bit-adam", action="store_true",
+                   help="int8 Adam moments (training/optim8bit.py; the reference CLIs "
+                        "expose the same bitsandbytes switch)")
     args = p.parse_args()
 
     import jax
@@ -117,7 +120,8 @@ def main():
         trainable = lambda path: True
     else:
         trainable = lambda path: "lora_" in path or "knowledge_fusion" in path
-    optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable)
+    optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable,
+                               use_8bit=args.use_8bit_adam)
     step = make_cogvideox_train_step(model, optimizer, mode=args.mode)
     state = init_train_state(params, optimizer)
 

@@ -37,6 +37,10 @@ def main():
                    help="lkgd: quaternion fusion + temporal LoRA (train_svd_lora); "
                         "trans: joint xy/yx/y adapters (train_svd_trans_lora)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use-8bit-adam", action="store_true",
+                   help="int8 Adam moments (training/optim8bit.py) — the reference's "
+                        "bitsandbytes --use_8bit_adam memory lever "
+                        "(train_svd_lora.py:1197-1207)")
     args = p.parse_args()
 
     from lkgd_tpu.data.datasets import MiniDataset, PrefetchLoader
@@ -141,7 +145,8 @@ def main():
                 "image_embeddings": emb, "domain_features": domain,
                 "flow_features": domain}
 
-    optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable)
+    optimizer = make_optimizer(args.learning_rate, trainable_predicate=trainable,
+                               use_8bit=args.use_8bit_adam)
     train_step_core = jax.jit(make_svd_train_step(
         unet, optimizer,
         SVDTrainConfig(conditioning_dropout_prob=args.conditioning_dropout_prob,
