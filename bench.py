@@ -223,6 +223,7 @@ def bench_train(reps):
                                                make_optimizer, make_svd_train_step)
 
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))
+    use_8bit = bool(os.environ.get("LKGD_BENCH_8BIT"))  # int8 Adam moments (optim8bit)
     b, t, h, w = (1, 2, 8, 8) if small else (1, 8, 64, 64)  # 512x512 px -> 64x64 latents
     kw = dict(
         num_frames=t, knowledge_fusion=True, remat=True,
@@ -238,7 +239,7 @@ def bench_train(reps):
     cfg = SVDUNetConfig(**kw)
     unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
     trainable = lambda path: "lora_" in path or "knowledge_fusion" in path  # noqa: E731
-    optimizer = make_optimizer(2e-4, trainable_predicate=trainable)
+    optimizer = make_optimizer(2e-4, trainable_predicate=trainable, use_8bit=use_8bit)
     train_step = jax.jit(make_svd_train_step(unet, optimizer, SVDTrainConfig()),
                          donate_argnums=(0,))
 
@@ -267,7 +268,8 @@ def bench_train(reps):
         return loss
 
     label = ("sec/step train svd-lora (smoke config)" if small else
-             "sec/step train svd-lora (512x512 x 8f, bs1, quaternion+LoRA, remat)")
+             "sec/step train svd-lora (512x512 x 8f, bs1, quaternion+LoRA, remat"
+             + (", 8-bit adam)" if use_8bit else ")"))
     return label, _time(run, reps, "train")
 
 
