@@ -14,11 +14,13 @@ Env overrides:
       trans      LKGD flagship: joint attention (spatial+temporal, attn1n branch per
                  block) + 2 stream-masked r=64 LoRAs, [start, end] frame pair
                  (reference run_inference_trans_svd.py).
-                 NOTE: on one 16 GB chip run with LKGD_BENCH_SEQ_CFG=1 — the
-                 batch-doubled 4-row joint batch crashes the TPU worker (measured
-                 r3 queue2); sequential CFG halves peak activation HBM.
+                 NOTE: the full 576x1024 joint config exceeds one 16 GB chip even
+                 with LKGD_BENCH_SEQ_CFG=1 (r3 queue3/5); run it at the reference's
+                 own trans resolution (LKGD_BENCH_SIZE=576x320 -> 20.84 s/clip
+                 measured) or shard over a mesh. Same for smooth.
       controlnet ControlNet-SDV residuals on every step (reference run_inference.py).
-                 Same LKGD_BENCH_SEQ_CFG=1 note (RESOURCE_EXHAUSTED otherwise).
+                 Full 576x1024 works on one chip (36.25 s/clip measured) with the
+                 bf16 synthetic param materialization.
       smooth     long-video refiner: 28 frames re-denoised in 14-frame joint chunks
                  (reference run_inference_svd_smooth.py)
       cogvideox  ONE full-size CogVideoX-5B I2V DiT step (49f x 480x720 latents,
