@@ -207,11 +207,18 @@ class CogVideoXAttention(nn.Module):
         q = LayerNorm(1e-6, dtype=self.dtype, name="norm_q")(q)
         k = LayerNorm(1e-6, dtype=self.dtype, name="norm_k")(k)
         if rope is not None:
+            # tables carry an identity rotation (cos=1, sin=0) over the text prefix, so
+            # rotary applies to the WHOLE joint sequence — no per-layer slice+concat
+            # copies of the (B, S, H*D) q/k tensors (~218 MB each at full size, x2
+            # tensors x42 layers)
             cos, sin = rope
-            qv = apply_rotary(q[:, text_len:], cos, sin)
-            kv = apply_rotary(k[:, text_len:], cos, sin)
-            q = jnp.concatenate([q[:, :text_len], qv], axis=1)
-            k = jnp.concatenate([k[:, :text_len], kv], axis=1)
+            if cos.shape[0] == s - text_len:  # tables without the text prefix
+                pad_c = jnp.ones((text_len, cos.shape[1]), cos.dtype)
+                pad_s = jnp.zeros((text_len, sin.shape[1]), sin.dtype)
+                cos = jnp.concatenate([pad_c, cos], axis=0)
+                sin = jnp.concatenate([pad_s, sin], axis=0)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
         if cfg.sequence_parallel != "none":
             from lkgd_tpu.parallel.sequence import joint_sp_attention
 
