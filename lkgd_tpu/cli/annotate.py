@@ -85,6 +85,15 @@ def main():
         cp.register_processor("lineart_anime",
                               make_lineart_anime_processor(params, cfg))
 
+    if args.annotation == "depth_midas":
+        from lkgd_tpu.models.midas import make_midas_processor
+
+        if not args.weights:
+            raise SystemExit("--annotation depth_midas needs --weights "
+                             "(isl-org dpt_hybrid-midas-501f0c75.pt; external, "
+                             "egress-gated)")
+        cp.register_processor("depth_midas", make_midas_processor(args.weights))
+
     if args.annotation in ("lineart", "lineart_coarse"):
         from lkgd_tpu.models.lineart import make_lineart_processor
 
