@@ -7,6 +7,11 @@ self-attention layers cross-talk through the UNet's joint-attention branch. The 
 wires this at runtime with `patch.apply_patch` + masks `[0,1,0,1]`
 (`utils/util.py:601-606`); here the joint topology is the UNet config and the pipeline just
 orders the batch stream-major: ``[x_uncond, y_uncond, x_cond, y_cond]``.
+
+Deployment note (measured r3): the joint config at the full 14f x 576x1024 exceeds one
+16 GB v5e chip even with ``sequential_cfg`` — run full-size joint inference over a mesh
+(``mesh=`` on the pipeline; dp/cp sharding is dryrun-certified) or at the reference's
+own trans resolution 576x320 (20.84 s/clip measured single-chip).
 """
 
 from __future__ import annotations
