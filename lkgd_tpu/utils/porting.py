@@ -526,3 +526,34 @@ def port_raft(state_dict, template, strict: bool = True, materialize: bool = Tru
     """Port a torchvision raft_large state dict into a ``models/raft.py`` RAFT template."""
     return port_state_dict(state_dict, template, key_map=raft_key_map, strict=strict,
                            materialize=materialize)
+
+
+# ---------------------------------------------------------------- 2D SD UNet
+def unet2d_key_map(key: str) -> Optional[str]:
+    """diffusers SD2 UNet2DConditionModel -> our models/unet_2d.py paths.
+
+    Our 2D module names are flat single-level ("down_blocks_0_resnets_0"), unlike the
+    SVD UNet's nested blocks, so the generic list flattening is not enough (the
+    reference loads SD2/inpaint checkpoints via from_pretrained for the 8 SD-2D
+    pipelines, e.g. `pipeline/pipeline_stable_diffusion_inpaint.py`)."""
+    k = re.sub(r"\b(down_blocks|up_blocks)\.(\d+)\.(resnets|attentions|downsamplers|"
+               r"upsamplers)\.(\d+)\.", r"\1_\2_\3_\4.", key)
+    k = k.replace("mid_block.resnets.", "mid_block_resnets_")
+    k = k.replace("mid_block.attentions.", "mid_block_attentions_")
+    if k.startswith(("class_embedding", "add_embedding")):
+        return None  # SD2 variants without class/add embeddings
+    return k
+
+
+def port_unet_2d(state_dict, template, strict: bool = True):
+    return port_state_dict(state_dict, template, key_map=unet2d_key_map, strict=strict)
+
+
+def unet2d_export_key_map(key: str) -> str:
+    """Inverse: our export naming -> diffusers SD2 UNet naming (the generic list
+    restore only reaches the first underscore group of the flat names)."""
+    k = re.sub(r"\b(down_blocks|up_blocks)\.(\d+)_(resnets|attentions|downsamplers|"
+               r"upsamplers)_(\d+)", r"\1.\2.\3.\4", key)
+    k = k.replace("mid_block_resnets_", "mid_block.resnets.")
+    k = k.replace("mid_block_attentions_", "mid_block.attentions.")
+    return k

@@ -225,9 +225,16 @@ def partner_swap(x: torch.Tensor, mask) -> torch.Tensor:
 
 
 def joint_branch(p: ParamStore, prefix: str, norm_x: torch.Tensor, heads: int, joint,
-                 lora_cfg, num_frames: int, allow_flip: bool) -> torch.Tensor:
+                 lora_cfg, num_frames: int, allow_flip: bool,
+                 temb: torch.Tensor = None) -> torch.Tensor:
     """attn1n + zero-init post projection (reference `patch/patch.py:438-500` spatial,
-    `:617-660` temporal — the temporal path never flips)."""
+    `:617-660` temporal — the temporal path never flips). ``add_norm``: AdaLN on the
+    joint input conditioned on temb (patch.py:163-169, zero-init linear)."""
+    if joint.get("add_norm"):
+        ada = linear(p, f"{prefix}.norm1n.linear", F.silu(temb))
+        shift, scale = ada.chunk(2, dim=-1)
+        norm_x = F.layer_norm(norm_x, (norm_x.shape[-1],), None, None, 1e-6)
+        norm_x = norm_x * (1 + scale[:, None]) + shift[:, None]
     partner = partner_swap(norm_x, joint["mask"])
     if allow_flip and joint.get("flip"):
         bt, n, c = partner.shape
@@ -253,12 +260,13 @@ def joint_branch(p: ParamStore, prefix: str, norm_x: torch.Tensor, heads: int, j
 # --------------------------------------------------------------------------- transformer
 def basic_transformer_block(p: ParamStore, prefix: str, x: torch.Tensor,
                             ehs: torch.Tensor, heads: int, joint, lora_cfg,
-                            num_frames: int, joint_scale: float) -> torch.Tensor:
+                            num_frames: int, joint_scale: float,
+                            temb: torch.Tensor = None) -> torch.Tensor:
     norm_x = layer_norm(p, f"{prefix}.norm1", x)
     attn = attention(p, f"{prefix}.attn1", norm_x, norm_x, heads, lora_cfg)
     if joint is not None and joint.get("spatial", True):
         attn = attn + joint_scale * joint_branch(p, prefix, norm_x, heads, joint, lora_cfg,
-                                                 num_frames, allow_flip=True)
+                                                 num_frames, allow_flip=True, temb=temb)
     x = x + attn
     norm_x = layer_norm(p, f"{prefix}.norm2", x)
     x = x + attention(p, f"{prefix}.attn2", norm_x, ehs, heads, lora_cfg)
