@@ -557,3 +557,24 @@ def unet2d_export_key_map(key: str) -> str:
     k = k.replace("mid_block_resnets_", "mid_block.resnets.")
     k = k.replace("mid_block_attentions_", "mid_block.attentions.")
     return k
+
+
+def vit_export_key_map(key: str) -> str:
+    """Our export naming -> timm ``vit_base_patch16_384`` state-dict naming (the inverse
+    of ``lkgd_tpu.models.vit_mae.timm_vit_key_map``). The reference loads these exact
+    names from MAE checkpoints' ``encoder.*`` keys
+    (`/root/reference/train_models/train_svd_lora.py:1406-1433`)."""
+    k = key
+    if k.startswith("patch_embed."):
+        k = k.replace("patch_embed.", "patch_embed.proj.")
+    if k.startswith("blocks."):
+        k = k.replace(".qkv.", ".attn.qkv.").replace(".proj.", ".attn.proj.")
+        k = k.replace(".fc1.", ".mlp.fc1.").replace(".fc2.", ".mlp.fc2.")
+    return k
+
+
+def port_vit_mae(state_dict, template, strict: bool = True):
+    """timm/MAE ``encoder.*``-stripped state dict -> our ViT params."""
+    from lkgd_tpu.models.vit_mae import timm_vit_key_map
+
+    return port_state_dict(state_dict, template, key_map=timm_vit_key_map, strict=strict)
