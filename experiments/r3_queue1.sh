@@ -13,7 +13,10 @@ run() {
   echo "{\"tag\": \"$tag\", \"rc\": $rc, \"result\": ${line:-null}}" >> "$OUT"
 }
 run base_r3 LKGD_BENCH_REPS=3
-run fused_qkv LKGD_FUSED_QKV=1 LKGD_BENCH_REPS=3
+# HISTORICAL: the fused-QKV path and its LKGD_FUSED_QKV flag were deleted in 2ebf0cb
+# (measured slower than the default); re-running this line would just bench the default
+# path under a misleading label.
+# run fused_qkv LKGD_FUSED_QKV=1 LKGD_BENCH_REPS=3
 run maxtrack_flash LKGD_FLASH_MAXTRACK=1 LKGD_BENCH_REPS=3
 run train LKGD_BENCH_PIPELINE=train LKGD_BENCH_REPS=5
 run vae LKGD_BENCH_PIPELINE=vae LKGD_BENCH_REPS=3

@@ -4,9 +4,11 @@ The reference labels training frames with external models (OneFormer segmentatio
 Depth-Anything depth; `annotate/configs/annotate_spatial.yaml`). Those checkpoints are
 external; this CLI runs any processor registered in utils.control_preprocess (classical
 ones ship built-in: canny/softedge/tile; flow maps come from our UniMatch via
---annotation flow; model-based ones — depth (Depth-Anything), openpose (CMU body),
-lineart_anime (Anime2Sketch) — take --weights pointing at the ported external
-checkpoint) over a folder of videos/images and writes label maps alongside.
+--annotation flow; model-based ones — depth (Intel/dpt-large, the reference's
+transformers depth-estimation pipeline default), depth_anything, depth_midas
+(DPT-hybrid), openpose (CMU body), lineart_anime (Anime2Sketch) — take --weights
+pointing at the ported external checkpoint) over a folder of videos/images and writes
+label maps alongside.
 
   python -m lkgd_tpu.cli.annotate --input data/videos --annotation canny --output labels/
   python -m lkgd_tpu.cli.annotate --input data/videos --annotation flow --output labels/
@@ -62,15 +64,25 @@ def main():
             return np.concatenate([img, img[-1:]], axis=0)  # last frame repeats
 
     if args.annotation == "depth":
+        # reference parity: transformers.pipeline('depth-estimation') default =
+        # Intel/dpt-large (utils/controlnet_utils.py:103-117)
+        from lkgd_tpu.models.midas import make_depth_processor
+
+        if not args.weights:
+            raise SystemExit("--annotation depth needs --weights (HF Intel/dpt-large "
+                             "state dict; external, egress-gated)")
+        cp.register_processor("depth", make_depth_processor(args.weights))
+
+    if args.annotation == "depth_anything":
         from lkgd_tpu.models.depth_anything import (
             DepthAnythingConfig, load_state_dict, make_depth_processor, port_depth_anything)
 
         if not args.weights:
-            raise SystemExit("--annotation depth needs --weights (HF "
+            raise SystemExit("--annotation depth_anything needs --weights (HF "
                              "depth-anything state dict; external, egress-gated)")
         cfg = getattr(DepthAnythingConfig, args.model_size)()
         params = port_depth_anything(load_state_dict(args.weights), cfg)
-        cp.register_processor("depth", make_depth_processor(params, cfg))
+        cp.register_processor("depth_anything", make_depth_processor(params, cfg))
 
     if args.annotation == "lineart_anime":
         from lkgd_tpu.utils.porting import load_state_dict
@@ -103,7 +115,8 @@ def main():
                              "coarse; external, egress-gated)")
         cp.register_processor(args.annotation, make_lineart_processor(args.weights))
 
-    if args.annotation in ("softedge_hed", "scribble_hed"):
+    if args.annotation in ("softedge_hed", "scribble_hed", "softedge_hedsafe",
+                           "scribble_hedsafe"):
         from lkgd_tpu.models.hed import make_hed_processor
 
         if not args.weights:
@@ -111,7 +124,8 @@ def main():
                              "(lllyasviel Annotators ControlNetHED.pth; external, "
                              "egress-gated)")
         cp.register_processor(args.annotation, make_hed_processor(
-            args.weights, scribble=args.annotation == "scribble_hed"))
+            args.weights, scribble=args.annotation.startswith("scribble"),
+            safe=args.annotation.endswith("hedsafe")))
 
     if args.annotation == "segmentation":
         import jax

@@ -327,8 +327,9 @@ class TemporalBasicTransformerBlock(nn.Module):
         if self.joint is not None and self.joint.temporal:
             # NOTE: the reference's temporal forward adds the joint branch UNSCALED —
             # joint_scale is only applied in the spatial path (patch/patch.py:657-660 vs
-            # :500); set_joint_scale is never called with != 1.0 anywhere in the
-            # reference, but we match the graph exactly.
+            # :500). joint_scale IS user-settable (gradio_mask_depth_joint.py:310 slider
+            # passes 0-2 through set_joint_scale) but only the spatial path consumes it;
+            # the temporal forward ignores it, and we match that graph exactly.
             joint_out = JointAttentionBranch(
                 self.dim, self.heads, self.dim_head, self.joint, self.block_path, self.lora,
                 temporal=True, dtype=self.dtype, name="joint")(

@@ -75,9 +75,37 @@ def hed_edge(model: ControlNetHED, params, image: jnp.ndarray) -> jnp.ndarray:
 
 
 def safe_step(x: jnp.ndarray, step: int = 2) -> jnp.ndarray:
-    """controlnet_aux util.safe_step — quantizes the edge map (scribble variant)."""
+    """controlnet_aux util.safe_step — quantizes the edge map (the 'hedsafe' /
+    'scribble_hedsafe' processor variants, NOT plain scribble)."""
     y = x.astype(jnp.float32) * float(step + 1)
     return jnp.floor(y).astype(jnp.float32) / float(step)
+
+
+def scribble_postprocess(edge01: np.ndarray) -> np.ndarray:
+    """controlnet_aux ``HEDdetector(scribble=True)`` post-processing — binary scribble
+    lines, not a soft map: ``util.nms(map, 127, 3.0)`` (gaussian blur, 4-direction
+    dilate non-max suppression, >127 binarize) then ``GaussianBlur(sigma=3)`` on the
+    uint8 mask and the >4 threshold. Host-side cv2/numpy, exactly like the reference's
+    CPU annotator path (`/root/reference/utils/controlnet_utils.py:76` Processor
+    -> controlnet_aux HEDdetector.__call__ scribble branch)."""
+    import cv2
+
+    x = np.clip(edge01 * 255.0, 0, 255).astype(np.uint8)
+    # util.nms(x, t=127, s=3.0)
+    xb = cv2.GaussianBlur(x.astype(np.float32), (0, 0), 3.0)
+    y = np.zeros_like(xb)
+    for f in (np.array([[0, 0, 0], [1, 1, 1], [0, 0, 0]], np.uint8),
+              np.array([[0, 1, 0], [0, 1, 0], [0, 1, 0]], np.uint8),
+              np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.uint8),
+              np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.uint8)):
+        np.putmask(y, cv2.dilate(xb, kernel=f) == xb, xb)
+    z = np.zeros_like(y, dtype=np.uint8)
+    z[y > 127] = 255
+    # HEDdetector scribble branch: uint8 blur + binary threshold
+    m = cv2.GaussianBlur(z, (0, 0), 3.0)
+    out = np.zeros(m.shape, np.float32)
+    out[m > 4] = 1.0
+    return out
 
 
 def hed_key_map(key: str) -> Optional[str]:
@@ -102,9 +130,13 @@ def port_hed(state_dict, template, strict: bool = True):
     return port_state_dict(sd, template, key_map=hed_key_map, strict=strict)
 
 
-def make_hed_processor(checkpoint_path: str, scribble: bool = False):
-    """Build a control_preprocess-registerable callable from a ControlNetHED.pth
-    (register with ``register_processor("softedge_hed", fn)``)."""
+def make_hed_processor(checkpoint_path: str, scribble: bool = False,
+                       safe: bool = False):
+    """Build a control_preprocess-registerable callable from a ControlNetHED.pth.
+
+    ``scribble=True`` -> controlnet_aux ``scribble_hed`` (binary nms+blur+threshold
+    lines); ``safe=True`` -> the ``*_hedsafe`` variants (safe_step quantization).
+    Register with ``register_processor("softedge_hed"/"scribble_hed"/..., fn)``."""
     from lkgd_tpu.utils.porting import load_state_dict
 
     model = ControlNetHED()
@@ -115,8 +147,10 @@ def make_hed_processor(checkpoint_path: str, scribble: bool = False):
 
     def process(image: np.ndarray) -> np.ndarray:
         edge = np.asarray(fn(jnp.asarray(image[None], jnp.float32)))[0]
-        if scribble:
+        if safe:
             edge = np.asarray(safe_step(jnp.asarray(edge)))
+        if scribble:
+            edge = scribble_postprocess(edge)
         return np.repeat(edge[..., None], 3, axis=-1).astype(np.float32)
 
     return process

@@ -1,11 +1,18 @@
-"""MiDaS DPT-hybrid depth estimator, TPU-native — the reference's depth annotator.
+"""DPT depth estimators (DPT-large + DPT-hybrid), TPU-native — the reference's depth
+annotator family.
 
 The reference's ``depth`` ControlNet preprocessor
-(`/root/reference/utils/controlnet_utils.py:104-106,136` via
-``controlnet_aux.MidasDetector``) runs isl-org MiDaS ``DPTDepthModel`` with the
-``vitb_rn50_384`` (DPT-hybrid) backbone — checkpoint ``dpt_hybrid-midas-501f0c75.pt``.
-This module implements the full architecture + porter keyed to the exact isl-org/timm
-state-dict naming, closing the round-2 "midas depth substituted by Depth-Anything" gap:
+(`/root/reference/utils/controlnet_utils.py:103-117`) runs
+``transformers.pipeline('depth-estimation')`` — whose DEFAULT model is **Intel/dpt-large**
+(pure ViT-L/16 DPT). ``DPTLargeDepth`` + ``port_dpt_large`` below implement that exact
+path, keyed to the HF ``DPTForDepthEstimation`` state-dict naming, with
+``make_depth_processor`` replicating the pipeline's square-384 resize / mean-std-0.5
+normalize / bicubic-upsample / max-normalize chain.
+
+``DPTHybridDepth`` (further below) is the isl-org MiDaS ``dpt_hybrid-midas-501f0c75.pt``
+variant (``vitb_rn50_384`` backbone) that ``controlnet_aux.MidasDetector`` runs — kept
+for the ``depth_midas`` processor id (used by other ControlNet tooling), ported from the
+exact isl-org/timm state-dict naming:
 
   * timm ``ResNetV2`` hybrid stem (weight-standardized convs, GroupNorm(32)+ReLU,
     TF-SAME padding, non-preact bottlenecks — the checkpoint's ``downsample.norm.*``
@@ -48,12 +55,29 @@ class MidasConfig:
     hooks: Tuple[int, ...] = (8, 11)  # ViT blocks feeding the neck
     features: int = 256  # scratch width
     neck_channels: Tuple[int, ...] = (256, 512, 768, 768)
+    patch_size: int = 16  # DPT-large image patchification (hybrid patches the /16 map)
+    vit_ln_eps: float = 1e-6  # timm ViT; HF DPTConfig uses 1e-12
 
     @classmethod
     def tiny(cls) -> "MidasConfig":
         return cls(image_size=64, resnet_layers=(1, 1, 1), stem_width=8, vit_dim=32,
                    vit_depth=2, vit_heads=2, hooks=(0, 1), features=16,
                    neck_channels=(32, 64, 32, 32))
+
+    @classmethod
+    def large(cls) -> "MidasConfig":
+        """Intel/dpt-large (the transformers depth-estimation pipeline default):
+        ViT-L/16, hooks after encoder layers (5, 11, 17, 23), reassemble channels
+        (256, 512, 1024, 1024), fusion width 256."""
+        return cls(image_size=384, vit_dim=1024, vit_depth=24, vit_heads=16,
+                   hooks=(5, 11, 17, 23), features=256,
+                   neck_channels=(256, 512, 1024, 1024), vit_ln_eps=1e-12)
+
+    @classmethod
+    def tiny_large(cls) -> "MidasConfig":
+        return cls(image_size=64, vit_dim=32, vit_depth=4, vit_heads=2,
+                   hooks=(0, 1, 2, 3), features=16, neck_channels=(8, 16, 32, 32),
+                   vit_ln_eps=1e-12)
 
 
 # ------------------------------------------------------------------ primitives
@@ -164,13 +188,14 @@ class VitBlock(nn.Module):
     dim: int
     heads: int
     mlp_ratio: int = 4
+    eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, s, d = x.shape
         hd = d // self.heads
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv.reshape(b, s, 3, self.heads, hd), 3, axis=2)
         q, k, v = (t[:, :, 0] for t in (q, k, v))
@@ -179,7 +204,7 @@ class VitBlock(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="proj")(o)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.mlp_ratio * d, dtype=self.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         return x + nn.Dense(d, dtype=self.dtype, name="fc2")(h)
@@ -310,6 +335,114 @@ class DPTHybridDepth(nn.Module):
         return h[..., 0]
 
 
+class BlockUpsample(nn.Module):
+    """Non-overlapping ConvTranspose2d(k=stride=s) as an einsum block expansion —
+    exactly torch's transposed conv when kernel == stride (every output pixel receives
+    one tap), MXU-lowered, no lax.conv_transpose kernel-orientation ambiguity.
+    Param kernel layout (s, s, in, out) = torch weight.transpose(2, 3, 0, 1)."""
+
+    features: int
+    scale: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.scale
+        b, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (s, s, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        return y.reshape(b, h * s, w * s, self.features) + bias.astype(self.dtype)
+
+
+class DPTLargeDepth(nn.Module):
+    """HF ``DPTForDepthEstimation`` (Intel/dpt-large) — the model behind the reference's
+    ``transformers.pipeline('depth-estimation')`` depth preprocessor
+    (`/root/reference/utils/controlnet_utils.py:110`).
+
+    Pure ViT-L/16 encoder, 'project' readout at 4 hook layers, reassemble to
+    /4 (x4 transposed conv), /8 (x2), /16 (identity), /32 (stride-2 conv), 3x3
+    no-bias neck convs to the fusion width, 4 pre-act residual fusion stages with
+    align-corners x2 upsampling, monocular head. Input (B, H, W, 3) normalized to
+    mean/std 0.5; H = W = config.image_size (the pipeline's square 384 resize —
+    Intel/dpt-large ships keep_aspect_ratio=False). Returns (B, H, W) non-negative
+    inverse depth."""
+
+    config: MidasConfig = MidasConfig.large()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        b = x.shape[0]
+        ps = cfg.patch_size
+        gh = gw = cfg.image_size // ps
+
+        tokens = nn.Conv(cfg.vit_dim, (ps, ps), strides=(ps, ps), padding="VALID",
+                         dtype=self.dtype, name="patch_embed_proj")(x.astype(self.dtype))
+        tokens = tokens.reshape(b, gh * gw, cfg.vit_dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.vit_dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, gh * gw + 1, cfg.vit_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, cfg.vit_dim)), tokens], 1)
+        tokens = tokens + pos.astype(self.dtype)
+
+        hook_outs = []
+        for i in range(cfg.vit_depth):
+            tokens = VitBlock(cfg.vit_dim, cfg.vit_heads, cfg.vit_mlp_ratio,
+                              eps=cfg.vit_ln_eps, dtype=self.dtype,
+                              name=f"blocks_{i}")(tokens)
+            if i in cfg.hooks:
+                hook_outs.append(tokens)
+
+        # readout 'project' (cat cls -> Linear(2d, d) -> GELU), then reassemble
+        def project(t, idx):
+            clsr = jnp.broadcast_to(t[:, :1], t[:, 1:].shape)
+            h = jnp.concatenate([t[:, 1:], clsr], axis=-1)
+            h = nn.Dense(cfg.vit_dim, dtype=self.dtype,
+                         name=f"readout_{idx}_project")(h)
+            return nn.gelu(h, approximate=False).reshape(b, gh, gw, cfg.vit_dim)
+
+        nc = cfg.neck_channels
+        l1 = nn.Conv(nc[0], (1, 1), dtype=self.dtype, name="reassemble1_proj")(
+            project(hook_outs[0], 1))
+        l1 = BlockUpsample(nc[0], 4, dtype=self.dtype, name="reassemble1_resize")(l1)
+        l2 = nn.Conv(nc[1], (1, 1), dtype=self.dtype, name="reassemble2_proj")(
+            project(hook_outs[1], 2))
+        l2 = BlockUpsample(nc[1], 2, dtype=self.dtype, name="reassemble2_resize")(l2)
+        l3 = nn.Conv(nc[2], (1, 1), dtype=self.dtype, name="reassemble3_proj")(
+            project(hook_outs[2], 3))
+        l4 = nn.Conv(nc[3], (1, 1), dtype=self.dtype, name="reassemble4_proj")(
+            project(hook_outs[3], 4))
+        l4 = nn.Conv(nc[3], (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                     name="reassemble4_down")(l4)
+
+        f = cfg.features
+        l1_rn = nn.Conv(f, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                        name="layer1_rn")(l1)
+        l2_rn = nn.Conv(f, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                        name="layer2_rn")(l2)
+        l3_rn = nn.Conv(f, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                        name="layer3_rn")(l3)
+        l4_rn = nn.Conv(f, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                        name="layer4_rn")(l4)
+
+        p4 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet4")(l4_rn)
+        p3 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet3")(p4, l3_rn)
+        p2 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet2")(p3, l2_rn)
+        p1 = FeatureFusionBlock(f, dtype=self.dtype, name="refinenet1")(p2, l1_rn)
+
+        h = nn.Conv(f // 2, (3, 3), padding=1, dtype=self.dtype, name="head_conv1")(p1)
+        h = _resize_bilinear_ac(h, 2 * h.shape[1], 2 * h.shape[2])
+        h = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                            name="head_conv2")(h))
+        h = nn.relu(nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(h))
+        return h[..., 0]
+
+
 # ------------------------------------------------------------------ porting
 def midas_key_map(key: str):
     """isl-org MiDaS dpt_hybrid-midas state dict -> our paths (timm + DPT naming)."""
@@ -425,6 +558,166 @@ def port_midas(state_dict, template, strict: bool = True):
     return jax.tree_util.tree_unflatten(
         treedef, [produced.get(tuple(str(getattr(p, 'key', p)) for p in path),
                                np.asarray(leaf)) for path, leaf in flat])
+
+
+def dpt_large_key_map(key: str):
+    """HF ``DPTForDepthEstimation`` (Intel/dpt-large) state dict -> our paths.
+
+    q/k/v are separate in HF naming; ``port_dpt_large`` pre-merges them into the fused
+    ``qkv`` leaf before this map runs (keys ``...attention.attention.qkv.*``)."""
+    import re
+
+    k = key
+    if k.startswith("dpt.embeddings."):
+        k = k[len("dpt.embeddings."):]
+        if k == "cls_token":
+            return "cls_token"
+        if k == "position_embeddings":
+            return "pos_embed"
+        if k.startswith("patch_embeddings.projection."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            return f"patch_embed_proj.{leaf}"
+        return k
+    m = re.match(r"dpt\.encoder\.layer\.(\d+)\.(.*)", k)
+    if m:
+        i, rest = m.groups()
+        table = {
+            "layernorm_before.weight": "norm1.scale",
+            "layernorm_before.bias": "norm1.bias",
+            "layernorm_after.weight": "norm2.scale",
+            "layernorm_after.bias": "norm2.bias",
+            "attention.attention.qkv.weight": "qkv.kernel",
+            "attention.attention.qkv.bias": "qkv.bias",
+            "attention.output.dense.weight": "proj.kernel",
+            "attention.output.dense.bias": "proj.bias",
+            "intermediate.dense.weight": "fc1.kernel",
+            "intermediate.dense.bias": "fc1.bias",
+            "output.dense.weight": "fc2.kernel",
+            "output.dense.bias": "fc2.bias",
+        }
+        return f"blocks_{i}.{table[rest]}" if rest in table else None
+    if k.startswith("dpt.layernorm.") or k.startswith("dpt.pooler."):
+        return None  # post-encoder norm/pooler: the DPT hooks bypass both
+    m = re.match(r"neck\.reassemble_stage\.readout_projects\.(\d)\.0\.(weight|bias)", k)
+    if m:
+        i, leaf = m.groups()
+        return f"readout_{int(i) + 1}_project.{'kernel' if leaf == 'weight' else leaf}"
+    m = re.match(r"neck\.reassemble_stage\.layers\.(\d)\.(projection|resize)\.(weight|bias)", k)
+    if m:
+        i, part, leaf = m.groups()
+        leaf = "kernel" if leaf == "weight" else leaf
+        if part == "projection":
+            return f"reassemble{int(i) + 1}_proj.{leaf}"
+        return (f"reassemble{int(i) + 1}_resize.{leaf}" if i in "01"
+                else None if i == "2" else f"reassemble4_down.{leaf}")
+    m = re.match(r"neck\.convs\.(\d)\.weight", k)
+    if m:
+        return f"layer{int(m.group(1)) + 1}_rn.kernel"
+    m = re.match(r"neck\.fusion_stage\.layers\.(\d)\.(.*)", k)
+    if m:
+        i, rest = m.groups()
+        n = 4 - int(i)  # HF fusion layer 0 consumes the deepest feature (refinenet4)
+        if n == 4 and rest.startswith("residual_layer1."):
+            return None  # dead weights: the first fusion layer never receives a skip
+        rest = rest.replace("projection.", "out_conv.")
+        rest = rest.replace("residual_layer1.", "resConfUnit1.")
+        rest = rest.replace("residual_layer2.", "resConfUnit2.")
+        rest = rest.replace("convolution", "conv")
+        rest = rest.replace(".weight", ".kernel")
+        return f"refinenet{n}.{rest}"
+    m = re.match(r"head\.head\.(\d)\.(weight|bias)", k)
+    if m:
+        idx, leaf = m.groups()
+        name = {"0": "head_conv1", "2": "head_conv2", "4": "head_conv3"}[idx]
+        return f"{name}.{'kernel' if leaf == 'weight' else leaf}"
+    return k
+
+
+def port_dpt_large(state_dict, template, strict: bool = True):
+    """Intel/dpt-large HF checkpoint -> DPTLargeDepth params (strict key coverage).
+
+    Merges HF's separate q/k/v leaves into the fused qkv kernel/bias first (torch
+    row-major stacking: [q; k; v] along the output dim), then fits each mapped tensor
+    (conv OIHW->HWIO, ConvTranspose (in,out,k,k)->(k,k,in,out), linear transpose)."""
+    import re
+
+    from lkgd_tpu.utils.porting import _fit_tensor
+
+    sd = dict(state_dict)
+    for key in list(sd):
+        m = re.match(r"(dpt\.encoder\.layer\.\d+\.attention\.attention\.)query\.(weight|bias)", key)
+        if m:
+            prefix, leaf = m.groups()
+            q = np.asarray(sd.pop(f"{prefix}query.{leaf}"))
+            k_ = np.asarray(sd.pop(f"{prefix}key.{leaf}"))
+            v = np.asarray(sd.pop(f"{prefix}value.{leaf}"))
+            sd[f"{prefix}qkv.{leaf}"] = np.concatenate([q, k_, v], axis=0)
+
+    leaves = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(template)[0]:
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        leaves[keys] = (tuple(leaf.shape), leaf.dtype)
+
+    produced, unused = {}, []
+    for key, tensor in sd.items():
+        mapped = dpt_large_key_map(key)
+        if mapped is None:
+            continue
+        path = ("params",) + tuple(mapped.split("."))
+        if path not in leaves:
+            unused.append(key)
+            continue
+        t = np.asarray(tensor)
+        if "reassemble" in mapped and mapped.endswith("_resize.kernel"):
+            t = t.transpose(2, 3, 0, 1)  # ConvTranspose (in, out, k, k) -> (k, k, in, out)
+            fitted = t if t.shape == leaves[path][0] else None
+        else:
+            fitted = _fit_tensor(t, leaves[path][0], is_kernel=(path[-1] == "kernel"))
+        if fitted is None:
+            raise ValueError(f"{key}: shape {np.shape(tensor)} !-> {leaves[path][0]}")
+        produced[path] = fitted.astype(leaves[path][1])
+    missing = [p for p in leaves if p not in produced]
+    if strict and (missing or unused):
+        raise ValueError(f"dpt-large port: missing {len(missing)} "
+                         f"(e.g. {['/'.join(p) for p in missing[:4]]}), "
+                         f"unused {len(unused)} (e.g. {unused[:4]})")
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [produced.get(tuple(str(getattr(p, 'key', p)) for p in path),
+                               np.asarray(leaf)) for path, leaf in flat])
+
+
+def make_depth_processor(checkpoint_path: str, cfg: Optional[MidasConfig] = None):
+    """The reference's ``depth`` preprocessor: transformers
+    ``pipeline('depth-estimation')`` with the default Intel/dpt-large
+    (`/root/reference/utils/controlnet_utils.py:103-117`).
+
+    Chain parity: DPTImageProcessor square-384 bicubic resize + rescale + mean/std-0.5
+    normalize -> DPTForDepthEstimation -> pipeline postprocess (bicubic
+    align_corners=False upsample back to the input size, ``depth * 255 / max`` uint8
+    PIL round-trip, ToTensor /255)."""
+    from lkgd_tpu.utils.porting import load_state_dict
+
+    cfg = cfg or MidasConfig.large()
+    model = DPTLargeDepth(cfg)
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))
+    params = port_dpt_large(load_state_dict(checkpoint_path), template)
+    fn = jax.jit(lambda img: model.apply(params, img))
+
+    def process(image: np.ndarray) -> np.ndarray:
+        import cv2
+
+        h, w = image.shape[:2]
+        inp = cv2.resize(image, (cfg.image_size, cfg.image_size),
+                         interpolation=cv2.INTER_CUBIC)
+        depth = np.asarray(fn(jnp.asarray((inp[None] - 0.5) / 0.5, jnp.float32)))[0]
+        depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_CUBIC)
+        formatted = np.clip(depth * 255.0 / (depth.max() + 1e-8), 0, 255).astype(np.uint8)
+        out = formatted.astype(np.float32) / 255.0
+        return np.repeat(out[..., None], 3, axis=-1)
+
+    return process
 
 
 def make_midas_processor(checkpoint_path: str, cfg: Optional[MidasConfig] = None):

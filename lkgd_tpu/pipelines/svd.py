@@ -155,9 +155,16 @@ class StableVideoDiffusionPipeline:
         return g[..., None, None, None]  # (B, T, 1, 1, 1)
 
     # ------------------------------------------------------------------ generation
-    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array):
+    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
+                       noise_aug: Optional[jnp.ndarray] = None,
+                       initial_noise: Optional[jnp.ndarray] = None):
         """image: [0,1] (B, H, W, 3). Returns denoised latents (B, T, h, w, 4) — decoding
-        runs in its own jitted program (``generate``)."""
+        runs in its own jitted program (``generate``).
+
+        ``noise_aug`` / ``initial_noise``: optional pre-drawn standard normals (image
+        shape / latent shape) replacing the internal PRNG draws — the deterministic-noise
+        hook used by the end-to-end torch parity oracle (reference `__call__` takes the
+        analogous ``generator``/``latents`` arguments, pipeline...trans.py:366-367)."""
         cfg = self.config
         batch_size = image.shape[0]
         rng_aug, rng_lat = jax.random.split(rng)
@@ -170,7 +177,8 @@ class StableVideoDiffusionPipeline:
 
         # VAE conditioning latents (noise-augmented image, reference :466-488)
         image_m11 = image * 2.0 - 1.0
-        noise = jax.random.normal(rng_aug, image_m11.shape, jnp.float32)
+        noise = (jax.random.normal(rng_aug, image_m11.shape, jnp.float32)
+                 if noise_aug is None else noise_aug.astype(jnp.float32))
         image_aug = image_m11 + cfg.noise_aug_strength * noise
         image_latents = self._encode_vae_cond(params["vae"], image_aug)
         if cfg.do_classifier_free_guidance:
@@ -182,9 +190,10 @@ class StableVideoDiffusionPipeline:
             batch_size * (2 if cfg.do_classifier_free_guidance else 1))
 
         # initial noise
-        latents = jax.random.normal(
+        latents = (jax.random.normal(
             rng_lat, (batch_size, cfg.num_frames, self.latent_height, self.latent_width, 4),
-            jnp.float32) * self.schedule.init_noise_sigma
+            jnp.float32) if initial_noise is None
+            else initial_noise.astype(jnp.float32)) * self.schedule.init_noise_sigma
 
         guidance = self._guidance_scale(batch_size)
         schedule = self.schedule
@@ -284,17 +293,20 @@ class StableVideoDiffusionPipeline:
         frames = frames.reshape(b, t, cfg.height, cfg.width, 3)
         return jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
-    def generate(self, params, image: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    def generate(self, params, image: jnp.ndarray, rng: jax.Array,
+                 noise_aug: Optional[jnp.ndarray] = None,
+                 initial_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Two-program generation: denoise scan (jit #1) + chunked temporal decode
         (jit #2). Splitting the decode out lets it run with large frame chunks (fewer
         memory passes; ~0.8 s faster per 14-frame clip at decode_chunk_size=14) that the
         combined program cannot compile at — see BASELINE.md."""
-        latents = self._generate(params, image, rng)
+        latents = self._generate(params, image, rng, noise_aug, initial_noise)
         return self._decode(params["vae"], latents)
 
     # ------------------------------------------------------------------ public API
     def __call__(self, params, image, rng: Optional[jax.Array] = None,
-                 output_type: str = "np"):
+                 output_type: str = "np", noise_aug: Optional[jnp.ndarray] = None,
+                 initial_noise: Optional[jnp.ndarray] = None):
         """image: numpy/jax array (B, H, W, 3) in [0,1] at pipeline resolution."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -302,8 +314,8 @@ class StableVideoDiffusionPipeline:
         if image.ndim == 3:
             image = image[None]
         if output_type == "latent":
-            return self._generate(params, image, rng)
-        out = self.generate(params, image, rng)
+            return self._generate(params, image, rng, noise_aug, initial_noise)
+        out = self.generate(params, image, rng, noise_aug, initial_noise)
         if output_type == "np":
             return np.asarray(out)
         return out

@@ -54,7 +54,9 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         return params
 
     def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
-                       control: Optional[jnp.ndarray] = None):
+                       control: Optional[jnp.ndarray] = None,
+                       noise_aug: Optional[jnp.ndarray] = None,
+                       initial_noise: Optional[jnp.ndarray] = None):
         cfg = self.config
         batch_size = image.shape[0]
         rng_aug, rng_lat = jax.random.split(rng)
@@ -64,7 +66,8 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
             image_embeddings = jnp.concatenate(
                 [jnp.zeros_like(image_embeddings), image_embeddings], axis=0)
         image_m11 = image * 2.0 - 1.0
-        noise = jax.random.normal(rng_aug, image_m11.shape, jnp.float32)
+        noise = (jax.random.normal(rng_aug, image_m11.shape, jnp.float32)
+                 if noise_aug is None else noise_aug.astype(jnp.float32))
         image_latents = self._encode_vae_cond(params["vae"],
                                               image_m11 + cfg.noise_aug_strength * noise)
         if cfg.do_classifier_free_guidance:
@@ -74,9 +77,10 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         rows = batch_size * (2 if cfg.do_classifier_free_guidance else 1)
         added_time_ids = self._add_time_ids(rows)
 
-        latents = jax.random.normal(
+        latents = (jax.random.normal(
             rng_lat, (batch_size, cfg.num_frames, self.latent_height, self.latent_width, 4),
-            jnp.float32) * self.schedule.init_noise_sigma
+            jnp.float32) if initial_noise is None
+            else initial_noise.astype(jnp.float32)) * self.schedule.init_noise_sigma
 
         if control is None:
             control = jnp.zeros((batch_size, cfg.num_frames, cfg.height, cfg.width,
@@ -152,14 +156,16 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         return latents
 
     def __call__(self, params, image, control=None, rng: Optional[jax.Array] = None,
-                 output_type: str = "np"):
+                 output_type: str = "np", noise_aug: Optional[jnp.ndarray] = None,
+                 initial_noise: Optional[jnp.ndarray] = None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         image = jnp.asarray(image, jnp.float32)
         if image.ndim == 3:
             image = image[None]
         control = None if control is None else jnp.asarray(control, jnp.float32)
-        latents = self._generate(params, image, rng, control=control)
+        latents = self._generate(params, image, rng, control=control,
+                                 noise_aug=noise_aug, initial_noise=initial_noise)
         if output_type == "latent":
             return latents
         out = self._decode(params["vae"], latents)

@@ -29,7 +29,9 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
     """images: (2, H, W, 3) = [start_frame, end_frame]. Returns (2, T, H, W, 3): stream 0
     is the start->end transition; stream 1 its end-conditioned twin."""
 
-    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array):
+    def _generate_impl(self, params, image: jnp.ndarray, rng: jax.Array,
+                       noise_aug: Optional[jnp.ndarray] = None,
+                       initial_noise: Optional[jnp.ndarray] = None):
         cfg = self.config
         assert image.shape[0] % 2 == 0, "trans pipeline expects [start, end] image pairs"
         rng_aug, rng_lat = jax.random.split(rng)
@@ -37,7 +39,8 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
         # per-stream CLIP + VAE conditioning (each stream sees its own frame)
         image_embeddings = self._encode_clip(params["image_encoder"], image)  # (2B, 1, D)
         image_m11 = image * 2.0 - 1.0
-        noise = jax.random.normal(rng_aug, image_m11.shape, jnp.float32)
+        noise = (jax.random.normal(rng_aug, image_m11.shape, jnp.float32)
+                 if noise_aug is None else noise_aug.astype(jnp.float32))
         image_latents = self._encode_vae_cond(params["vae"],
                                               image_m11 + cfg.noise_aug_strength * noise)
         if cfg.do_classifier_free_guidance:
@@ -50,10 +53,11 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
         rows = n_streams * (2 if cfg.do_classifier_free_guidance else 1)
         added_time_ids = self._add_time_ids(rows)
 
-        latents = jax.random.normal(
+        latents = (jax.random.normal(
             rng_lat,
             (n_streams, cfg.num_frames, self.latent_height, self.latent_width, 4),
-            jnp.float32) * self.schedule.init_noise_sigma
+            jnp.float32) if initial_noise is None
+            else initial_noise.astype(jnp.float32)) * self.schedule.init_noise_sigma
 
         guidance = self._guidance_scale(n_streams)
         schedule, scheduler = self.schedule, self.scheduler
@@ -96,7 +100,8 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
         return latents
 
     def __call__(self, params, start_image, end_image=None, rng: Optional[jax.Array] = None,
-                 output_type: str = "np"):
+                 output_type: str = "np", noise_aug: Optional[jnp.ndarray] = None,
+                 initial_noise: Optional[jnp.ndarray] = None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         if end_image is None:
@@ -105,6 +110,6 @@ class StableVideoDiffusionTransPipeline(StableVideoDiffusionPipeline):
             image = jnp.stack([jnp.asarray(start_image, jnp.float32),
                                jnp.asarray(end_image, jnp.float32)])
         if output_type == "latent":
-            return self._generate(params, image, rng)
-        out = self.generate(params, image, rng)
+            return self._generate(params, image, rng, noise_aug, initial_noise)
+        out = self.generate(params, image, rng, noise_aug, initial_noise)
         return np.asarray(out) if output_type == "np" else out

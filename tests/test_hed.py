@@ -84,3 +84,19 @@ class TestHED:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
         n = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
         assert n == 14_716_168, n
+
+    def test_scribble_postprocess_binary_lines(self):
+        """controlnet_aux HEDdetector(scribble=True) parity shape: nms + blur +
+        threshold must produce a BINARY line mask (not a soft/quantized map) that
+        follows the edge ridge and is zero in flat regions."""
+        from lkgd_tpu.models.hed import scribble_postprocess
+
+        h = w = 64
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        # soft horizontal ridge at row 32 (sigma-4 gaussian profile), like a blurry edge
+        edge = np.exp(-((yy - 32.0) ** 2) / (2 * 4.0 ** 2)) * np.ones((1, w), np.float32)
+        out = scribble_postprocess(edge)
+        assert out.shape == (h, w)
+        assert set(np.unique(out)) <= {0.0, 1.0}, "scribble output must be binary"
+        assert out[30:35].mean() > 0.9, "ridge rows should be marked"
+        assert out[:20].sum() == 0 and out[-20:].sum() == 0, "flat regions must stay 0"
