@@ -115,6 +115,18 @@ def main():
                              "coarse; external, egress-gated)")
         cp.register_processor(args.annotation, make_lineart_processor(args.weights))
 
+    if args.annotation in ("softedge_pidinet", "softedge_pidsafe", "scribble_pidinet"):
+        # the reference's softedge DEFAULT is pidsafe (controlnet_utils.py:99-101)
+        from lkgd_tpu.models.pidinet import make_pidinet_processor
+
+        if not args.weights:
+            raise SystemExit(f"--annotation {args.annotation} needs --weights "
+                             "(lllyasviel Annotators table5_pidinet.pth; external, "
+                             "egress-gated)")
+        cp.register_processor(args.annotation, make_pidinet_processor(
+            args.weights, safe=args.annotation.endswith("pidsafe"),
+            scribble=args.annotation.startswith("scribble")))
+
     if args.annotation in ("softedge_hed", "scribble_hed", "softedge_hedsafe",
                            "scribble_hedsafe"):
         from lkgd_tpu.models.hed import make_hed_processor
