@@ -182,6 +182,175 @@ class JsonVideoDataset:
 CaptionedClipDataset = JsonVideoDataset  # MSRVTT-style usage is json/csv + captions
 
 
+class VideoClipIndex:
+    """torchvision ``VideoClips`` analog: a precomputed per-video frame index that
+    enumerates every fixed-length clip window across a corpus (reference Panda/MSRVTT,
+    `utils/dataset.py:514-527,764-771`).
+
+    Each video is probed ONCE (frame count + fps, thread-pooled); the metadata caches
+    to ``cache_path`` as JSON so re-runs over a multi-thousand-video corpus skip the
+    probe (the reference torch.save's VideoClips.metadata to .cache/). Videos that
+    fail to probe, or are shorter than one window, contribute zero clips (corrupt-file
+    tolerance — the reference's retry loop analog at index-build time).
+
+    ``frame_rate``: when set, each video's timeline is resampled to that rate before
+    windowing (VideoClips semantics: resampled index i reads original frame
+    floor(i * native_fps / frame_rate)), so every clip has uniform temporal density.
+    """
+
+    def __init__(self, video_paths: Sequence[str], clip_length: int,
+                 frames_between_clips: int = 1, frame_rate: Optional[float] = None,
+                 cache_path: Optional[str] = None, num_workers: int = 16):
+        from lkgd_tpu.data.video_io import probe_video
+
+        self.video_paths = list(video_paths)
+        self.clip_length = clip_length
+        self.stride = frames_between_clips
+        self.frame_rate = frame_rate
+
+        meta: Optional[Dict[str, List]] = None
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cached = json.load(f)
+            if cached.get("paths") == self.video_paths:
+                meta = cached
+        if meta is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def probe(p):
+                try:
+                    return probe_video(p)
+                except Exception:
+                    return (0, 0.0)  # corrupt/unreadable -> zero clips
+
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                results = list(pool.map(probe, self.video_paths))
+            meta = {"paths": self.video_paths,
+                    "frames": [r[0] for r in results],
+                    "fps": [r[1] for r in results]}
+            if cache_path:
+                os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+                with open(cache_path, "w") as f:
+                    json.dump(meta, f)
+        self.frames = list(meta["frames"])
+        self.fps = list(meta["fps"])
+
+        # flat clip table: (video_idx, start_frame-in-resampled-timeline)
+        self._clips: List[Tuple[int, int]] = []
+        for vi, n in enumerate(self.frames):
+            eff = n if frame_rate is None or self.fps[vi] <= 0 else int(
+                n * frame_rate / self.fps[vi])
+            for s in range(0, eff - clip_length + 1, self.stride):
+                self._clips.append((vi, s))
+
+    def num_clips(self) -> int:
+        return len(self._clips)
+
+    def __len__(self) -> int:
+        return len(self._clips)
+
+    def get_clip(self, idx: int) -> Tuple[np.ndarray, Dict[str, float], int]:
+        """(frames (L, H, W, 3) [0,1], info {"video_fps"}, video_idx)."""
+        from lkgd_tpu.data.video_io import read_video_range
+
+        vi, s = self._clips[idx]
+        path = self.video_paths[vi]
+        native = self.fps[vi]
+        if self.frame_rate is None:
+            frames = read_video_range(path, s, s + self.clip_length)
+            fps = native
+        else:
+            # resampled timeline -> original frame indices
+            idxs = np.floor((s + np.arange(self.clip_length))
+                            * native / self.frame_rate).astype(int)
+            idxs = np.minimum(idxs, self.frames[vi] - 1)
+            lo, hi = int(idxs[0]), int(idxs[-1]) + 1
+            block = read_video_range(path, lo, hi)
+            frames = block[np.minimum(idxs - lo, len(block) - 1)]
+            fps = self.frame_rate
+        return frames, {"video_fps": fps}, vi
+
+
+class WindowedClipDataset:
+    """Windowed corpus loader (reference Panda `utils/dataset.py:497-669` / MSRVTT
+    `:747-867`): every ``sample_n_frames(+1)``-frame window across the corpus is one
+    sample, with the sibling-file or json caption attached.
+
+    ``caption_file``: json {video_basename: caption} (MSRVTT style); None reads a
+    ``.txt`` next to each video (Panda style). Decode failures retry a different clip
+    (the reference's while-loop), bounded at 8 attempts."""
+
+    def __init__(self, video_paths: Sequence[str], sample_size=512,
+                 sample_n_frames: int = 14, frames_between_clips: int = 32,
+                 frame_rate: Optional[float] = None,
+                 caption_file: Optional[str] = None,
+                 cache_path: Optional[str] = None, flip: bool = True,
+                 extra_frames: int = 1):
+        self.index = VideoClipIndex(video_paths, sample_n_frames + extra_frames,
+                                    frames_between_clips, frame_rate, cache_path)
+        self.sample_size = (sample_size, sample_size) if isinstance(sample_size, int) \
+            else tuple(sample_size)
+        self.sample_n_frames = sample_n_frames
+        self.flip = flip
+        self.captions = None
+        if caption_file:
+            with open(caption_file) as f:
+                self.captions = json.load(f)
+
+    def __len__(self) -> int:
+        return self.index.num_clips()
+
+    def _caption(self, video_idx: int) -> str:
+        path = self.index.video_paths[video_idx]
+        if self.captions is not None:
+            key = os.path.splitext(os.path.basename(path))[0]
+            return self.captions.get(key, "")
+        txt = os.path.splitext(path)[0] + ".txt"
+        if os.path.exists(txt):
+            with open(txt) as f:
+                return f.read()
+        return ""
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng()
+        for _attempt in range(8):
+            try:
+                frames, info, vi = self.index.get_clip(idx)
+                break
+            except Exception:
+                idx = int(rng.integers(0, len(self.index)))
+        else:
+            raise RuntimeError("8 consecutive clip decode failures")
+        pixel_values = process_frames(frames, *self.sample_size)
+        if self.flip and rng.random() < 0.5:
+            pixel_values = pixel_values[:, :, ::-1].copy()
+        return {"pixel_values": pixel_values * 2.0 - 1.0,
+                "fps": np.float32(info["video_fps"]),
+                "caption": self._caption(vi)}
+
+
+def panda_dataset(video_folder: str, sample_size=512, sample_n_frames: int = 14,
+                  cache_path: Optional[str] = ".cache/panda.clips.json"):
+    """Panda-70M loader (reference :497-669): video_files.json list, (n+1)-frame
+    windows every 32 frames, caption in the sibling .txt."""
+    with open(os.path.join(video_folder, "video_files.json")) as f:
+        paths = json.load(f)
+    return WindowedClipDataset(paths, sample_size, sample_n_frames,
+                               frames_between_clips=32, cache_path=cache_path)
+
+
+def msrvtt_dataset(video_folder: str, caption_file: str, sample_size=512,
+                   clip_length: int = 16,
+                   cache_path: Optional[str] = ".cache/msrvtt.clips.json"):
+    """MSRVTT loader (reference :747-867): every mp4 in the folder, 16-frame windows
+    at stride 1 on a 7 fps resampled timeline, captions from the json file."""
+    paths = sorted(glob.glob(os.path.join(video_folder, "*.mp4")))
+    return WindowedClipDataset(paths, sample_size, clip_length,
+                               frames_between_clips=1, frame_rate=7.0,
+                               caption_file=caption_file, cache_path=cache_path,
+                               extra_frames=0)
+
+
 class MixDataset:
     """Round-robin concat (reference :671-685)."""
 

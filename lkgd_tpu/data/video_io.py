@@ -32,6 +32,53 @@ def read_video_frames(path: str, max_frames: Optional[int] = None) -> Tuple[np.n
     return np.stack(frames).astype(np.float32) / 255.0, float(fps)
 
 
+def probe_video(path: str) -> Tuple[int, float]:
+    """(frame_count, fps) without decoding — the VideoClips metadata probe
+    (torchvision `VideoClips._compute_frame_pts` analog; reference
+    `utils/dataset.py:514-523`). Falls back to a decode count when the container
+    header lies (CAP_PROP_FRAME_COUNT <= 0)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if n <= 0:
+        n = 0
+        while cap.grab():
+            n += 1
+    cap.release()
+    if n <= 0:
+        raise ValueError(f"no frames in {path}")
+    return n, float(fps)
+
+
+def read_video_range(path: str, start: int, stop: int, step: int = 1) -> np.ndarray:
+    """Decode frames [start:stop:step] to (T, H, W, 3) float32 [0,1] — seeks to
+    ``start`` instead of decoding the whole file (the VideoClips.get_clip analog)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path}")
+    if start > 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+    frames = []
+    pos = start
+    while pos < stop:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if (pos - start) % step == 0:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        pos += 1
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}[{start}:{stop}:{step}]")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
 def read_image(path: str) -> np.ndarray:
     """(H, W, 3) float32 [0,1]."""
     from PIL import Image
