@@ -123,12 +123,125 @@ def _record_cogvideox(args) -> None:
     print(f"recorded {out.shape} cogvideox denoise output -> {args.out}")
 
 
+def _build_pipeline(args, dtype):
+    """Tiny end-to-end SVD pipeline for the whole-loop parity rung (the BASELINE.json
+    bar is *denoised-latent* parity of the assembled __call__, not one UNet step —
+    see tests/test_pipeline_torch_oracle.py for the torch-oracle version of this)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from lkgd_tpu.models.clip_vision import CLIPVisionConfig
+    from lkgd_tpu.models.configs import SVDUNetConfig
+    from lkgd_tpu.models.vae_temporal import TemporalVAEConfig
+    from lkgd_tpu.pipelines.svd import SVDPipelineConfig, StableVideoDiffusionPipeline
+
+    if args.config == "tiny":
+        ucfg = SVDUNetConfig(**TINY)
+        vcfg = TemporalVAEConfig(block_out_channels=(32, 64), layers_per_block=1)
+        ccfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=64,
+                                num_layers=2, num_heads=2, intermediate_size=128,
+                                projection_dim=64)
+    else:  # the real svd-xt geometry
+        ucfg, vcfg, ccfg = SVDUNetConfig(), TemporalVAEConfig(), CLIPVisionConfig()
+    pcfg = SVDPipelineConfig(height=args.height, width=args.width,
+                             num_frames=args.frames,
+                             num_inference_steps=args.steps, decode_chunk_size=2)
+    return StableVideoDiffusionPipeline(config=pcfg, unet_config=ucfg, vae_config=vcfg,
+                                        clip_config=ccfg, dtype=dtype)
+
+
+def _port_pipeline_params(pipe, checkpoint: str, strict: bool):
+    """Port unet/vae/image_encoder from a diffusers-layout checkpoint root."""
+    import jax
+    import jax.numpy as jnp
+
+    from lkgd_tpu.utils import porting
+
+    rng = jax.random.PRNGKey(0)
+    template = jax.eval_shape(lambda: pipe.init_params(rng))
+    unet_sd = porting.load_state_dict(_resolve_weights(os.path.join(checkpoint, "unet")))
+    vae_sd = porting.load_state_dict(_resolve_weights(os.path.join(checkpoint, "vae")))
+    clip_path = os.path.join(checkpoint, "image_encoder")
+    for cand in ("model.safetensors", "diffusion_pytorch_model.safetensors"):
+        if os.path.isfile(os.path.join(clip_path, cand)):
+            clip_path = os.path.join(clip_path, cand)
+            break
+    clip_sd = porting.load_state_dict(clip_path)
+    return {
+        "unet": porting.port_svd_unet(unet_sd, template["unet"], strict=strict),
+        "vae": porting.port_temporal_vae(vae_sd, template["vae"], strict=strict),
+        "image_encoder": porting.port_clip_vision(clip_sd, template["image_encoder"],
+                                                  strict=strict),
+    }
+
+
+def record_pipeline(args) -> None:
+    """Record the FULL pipeline loop: image + injected noise -> denoised latents."""
+    import jax
+    import jax.numpy as jnp
+
+    pipe = _build_pipeline(args, jnp.float32)
+    rng = np.random.default_rng(args.seed)
+    b = args.batch
+    image = rng.uniform(size=(b, args.height, args.width, 3)).astype(np.float32)
+    noise_aug = rng.standard_normal((b, args.height, args.width, 3)).astype(np.float32)
+    init_noise = rng.standard_normal(
+        (b, args.frames, args.height // pipe.vae_scale_factor,
+         args.width // pipe.vae_scale_factor, 4)).astype(np.float32)
+    if args.checkpoint:
+        params = _port_pipeline_params(pipe, args.checkpoint, strict=not args.lenient)
+    else:
+        params = pipe.init_params(jax.random.PRNGKey(args.seed))
+    latents = np.asarray(pipe(params, image, output_type="latent",
+                              noise_aug=jnp.asarray(noise_aug),
+                              initial_noise=jnp.asarray(init_noise)), np.float32)
+    np.savez_compressed(
+        args.out, image=image, noise_aug=noise_aug, initial_noise=init_noise,
+        latents=latents,
+        pipe_config=json.dumps({"model": "svd_pipeline", "config": args.config,
+                                "height": args.height, "width": args.width,
+                                "frames": args.frames, "steps": args.steps}))
+    print(f"recorded pipeline latents {latents.shape} -> {args.out}")
+
+
+def check_pipeline(args, rec) -> int:
+    import argparse as _a
+
+    import jax.numpy as jnp
+
+    meta = json.loads(str(rec["pipe_config"]))
+    pargs = _a.Namespace(config=meta["config"], height=meta["height"],
+                         width=meta["width"], frames=meta["frames"],
+                         steps=meta["steps"])
+    pipe = _build_pipeline(pargs, jnp.float32)
+    params = _port_pipeline_params(pipe, args.checkpoint, strict=not args.lenient)
+    got = np.asarray(pipe(params, rec["image"], output_type="latent",
+                          noise_aug=jnp.asarray(rec["noise_aug"]),
+                          initial_noise=jnp.asarray(rec["initial_noise"])), np.float32)
+    want = np.asarray(rec["latents"], np.float32)
+    abs_err = np.abs(got - want)
+    report = {
+        "mode": "pipeline", "checkpoint": args.checkpoint, "record": args.record,
+        "shape": list(want.shape),
+        "max_abs_err": float(abs_err.max()),
+        "mean_abs_err": float(abs_err.mean()),
+        "rtol": args.rtol, "atol": args.atol,
+        "pass": bool(np.allclose(got, want, rtol=args.rtol, atol=args.atol)),
+    }
+    print(json.dumps(report, indent=2))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0 if report["pass"] else 1
+
+
 def record(args) -> None:
     import jax
     import jax.numpy as jnp
 
     if args.model == "cogvideox":
         return _record_cogvideox(args)
+    if args.model == "svd_pipeline":
+        return record_pipeline(args)
     cfg_dict = TINY if args.config == "tiny" else {}
     if args.config_json:
         cfg_dict = {**cfg_dict, **json.loads(args.config_json)}
@@ -170,6 +283,8 @@ def check(args) -> int:
     import jax.numpy as jnp
 
     rec = np.load(args.record, allow_pickle=False)
+    if "pipe_config" in rec:
+        return check_pipeline(args, rec)
     cfg_dict = json.loads(str(rec["config"]))
     unet = _build(cfg_dict, jnp.float32)
     sample = rec["sample"]
@@ -214,15 +329,20 @@ def main(argv=None):
     sub = p.add_subparsers(dest="mode", required=True)
     pr = sub.add_parser("record")
     pr.add_argument("--out", required=True)
-    pr.add_argument("--model", default="svd", choices=["svd", "cogvideox"])
+    pr.add_argument("--model", default="svd",
+                    choices=["svd", "cogvideox", "svd_pipeline"])
     pr.add_argument("--config", default="tiny", choices=["tiny", "svd-xt"])
     pr.add_argument("--config-json", help="extra SVDUNetConfig field overrides")
-    pr.add_argument("--checkpoint", help="optional safetensors to record WITH real weights")
+    pr.add_argument("--checkpoint", help="optional safetensors to record WITH real weights"
+                    " (svd_pipeline: a diffusers checkpoint ROOT with unet/vae/"
+                    "image_encoder)")
     pr.add_argument("--lenient", action="store_true")
     pr.add_argument("--batch", type=int, default=2)
     pr.add_argument("--frames", type=int, default=2)
     pr.add_argument("--height", type=int, default=64)
     pr.add_argument("--width", type=int, default=64)
+    pr.add_argument("--steps", type=int, default=3,
+                    help="svd_pipeline: denoising steps in the recorded loop")
     pr.add_argument("--seed", type=int, default=0)
     pr.set_defaults(fn=record)
     pc = sub.add_parser("check")

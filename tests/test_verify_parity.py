@@ -97,3 +97,60 @@ def test_parity_harness_cogvideox_roundtrip(tmp_path):
     assert rc == 0
     rep = json.load(open(report))
     assert rep["pass"] and rep["max_abs_err"] < 1e-5
+
+
+def test_parity_harness_pipeline_roundtrip(tmp_path):
+    """svd_pipeline mode: the WHOLE assembled generate() loop (CLIP chain, noise-aug
+    VAE encode, CFG-linspace Euler scan) recorded + re-checked through a diffusers-
+    layout checkpoint root — the harness rung matching BASELINE.json's denoised-latent
+    parity bar (r3 VERDICT item 10)."""
+    from safetensors.numpy import save_file
+
+    from lkgd_tpu.models.clip_vision import CLIPVisionConfig, CLIPVisionModelWithProjection
+    from lkgd_tpu.models.vae_temporal import AutoencoderKLTemporalDecoder, TemporalVAEConfig
+
+    tmp = str(tmp_path)
+    # build a diffusers-layout checkpoint root with synthetic weights in exact naming
+    import argparse
+
+    pipe = verify_parity._build_pipeline(
+        argparse.Namespace(config="tiny", height=32, width=32, frames=2, steps=2),
+        jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(3)
+    params = jax.tree.map(
+        lambda x: (rng.standard_normal(x.shape) * 0.08).astype(np.float32), params)
+    os.makedirs(os.path.join(tmp, "unet"))
+    os.makedirs(os.path.join(tmp, "vae"))
+    os.makedirs(os.path.join(tmp, "image_encoder"))
+    save_file(porting.export_state_dict(params["unet"],
+                                        key_map=porting.svd_export_key_map),
+              os.path.join(tmp, "unet", "diffusion_pytorch_model.safetensors"))
+    save_file(porting.export_state_dict(params["vae"],
+                                        key_map=porting.vae_export_key_map),
+              os.path.join(tmp, "vae", "diffusion_pytorch_model.safetensors"))
+    save_file(porting.export_state_dict(params["image_encoder"],
+                                        key_map=porting.clip_export_key_map),
+              os.path.join(tmp, "image_encoder", "model.safetensors"))
+
+    rec = os.path.join(tmp, "rec.npz")
+    report = os.path.join(tmp, "report.json")
+    rc = verify_parity.main(["record", "--model", "svd_pipeline", "--out", rec,
+                             "--checkpoint", tmp, "--batch", "1", "--frames", "2",
+                             "--height", "32", "--width", "32", "--steps", "2"])
+    assert rc == 0 and os.path.exists(rec)
+
+    rc = verify_parity.main(["check", "--record", rec, "--checkpoint", tmp,
+                             "--report", report])
+    assert rc == 0
+    rep = json.load(open(report))
+    assert rep["mode"] == "pipeline" and rep["pass"]
+
+    # corrupting the VAE's quant_conv must fail the whole-loop check (the cond-latent
+    # path feeds every denoise step)
+    vp = os.path.join(tmp, "vae", "diffusion_pytorch_model.safetensors")
+    sd = porting.load_safetensors(vp)
+    sd["quant_conv.weight"] = sd["quant_conv.weight"] + 0.5
+    save_file(sd, vp)
+    rc = verify_parity.main(["check", "--record", rec, "--checkpoint", tmp])
+    assert rc == 1
