@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -164,6 +165,18 @@ class Attention(nn.Module):
 
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
+        if sk == 1 and mask is None:
+            # single-key context (SVD cross-attention: the CLIP image embedding is ONE
+            # token — reference pipeline...trans.py:188 unsqueeze(1)): softmax over one
+            # key is identically 1, so attention reduces EXACTLY to broadcasting v.
+            # to_out runs on the (B, 1, C) token and broadcasts after (linear commutes
+            # with broadcast); q is dead code and XLA eliminates the to_q matmul.
+            # Measured: removes the cross-attn QK/PV work from every spatial+temporal
+            # block (BASELINE.md round-4 session).
+            out = DenseWithLora(self.query_dim, use_bias=self.out_bias,
+                                adapters=self.adapters_out, dtype=self.dtype,
+                                name="to_out")(v)
+            return jnp.broadcast_to(out, (b, sq, out.shape[-1]))
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, sk, self.heads, self.dim_head)
         v = v.reshape(b, sk, self.heads, self.dim_head)
@@ -220,6 +233,15 @@ class FrameAxisAttention(nn.Module):
                           dtype=self.dtype, name="to_k")(ctx)
         v = DenseWithLora(inner, use_bias=False, adapters=self.adapters_v,
                           dtype=self.dtype, name="to_v")(ctx)
+        if per_sample_ctx and k.shape[1] == 1:
+            # single-key per-sample context (SVD: one CLIP token) — softmax over one
+            # key == 1 exactly; attention collapses to broadcasting v per sample. See
+            # the identical shortcut in Attention above.
+            out = DenseWithLora(self.query_dim, use_bias=self.out_bias,
+                                adapters=self.adapters_out, dtype=self.dtype,
+                                name="to_out")(v)  # (B, 1, C)
+            out = jnp.broadcast_to(out[:, None], (b, num_frames, hw, out.shape[-1]))
+            return out.reshape(bt, hw, out.shape[-1])
         qh = q.reshape(b, num_frames, hw, self.heads, self.dim_head)
         if per_sample_ctx:
             # (B, L, inner): one K/V per sample, shared by all pixels
@@ -230,7 +252,11 @@ class FrameAxisAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bphql,blhd->bqphd", probs, vh,
                              preferred_element_type=self.dtype)
-        else:
+        elif os.environ.get("LKGD_TEMPORAL_EINSUM"):
+            # pre-r4 formulation kept for A/B: batched einsum with non-leading batch
+            # dims (b, p, h) — XLA lowers it through full physical transposes of
+            # q/k/v/out (measured 126 ms/step aggregate;
+            # experiments/temporal_attention_microbench.py)
             kh = k.reshape(b, num_frames, hw, self.heads, self.dim_head)
             vh = v.reshape(b, num_frames, hw, self.heads, self.dim_head)
             logits = jnp.einsum("bqphd,bkphd->bphqk", qh, kh,
@@ -238,6 +264,24 @@ class FrameAxisAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bphqk,bkphd->bqphd", probs, vh,
                              preferred_element_type=self.dtype)
+        else:
+            # token-major formulation: ONE explicit transpose each way and a
+            # leading-batch (N, T, D) attention core — measured ~25% faster than the
+            # batched-einsum lowering at every UNet level (the transposes are the same
+            # data movement, but XLA's flat batched dot inserts none of its own)
+            def to_tok(x):
+                x = x.reshape(b, num_frames, hw, self.heads, self.dim_head)
+                return x.transpose(0, 2, 3, 1, 4).reshape(
+                    b * hw * self.heads, num_frames, self.dim_head)
+
+            qt, kt, vt = to_tok(q), to_tok(k), to_tok(v)
+            logits = jnp.einsum("ntd,nsd->nts", qt, kt,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("nts,nsd->ntd", probs, vt,
+                             preferred_element_type=self.dtype)
+            out = out.reshape(b, hw, self.heads, num_frames, self.dim_head)
+            out = out.transpose(0, 3, 1, 2, 4)
         out = out.reshape(bt, hw, inner)
         return DenseWithLora(self.query_dim, use_bias=self.out_bias, adapters=self.adapters_out,
                              dtype=self.dtype, name="to_out")(out)

@@ -113,3 +113,23 @@ def test_pallas_grad_interpret():
     g_ref = jax.grad(loss(reference_group_norm), argnums=(0, 1, 2))(x, scale, bias)
     for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_upsample_fold_exactness():
+    """FoldedUpsampleConv == conv3x3(nearest_upsample_2x(x)) bit-for-bit algebra (the
+    fold is perf-REJECTED — BASELINE.md r4 — but kept with its exactness proof)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lkgd_tpu.models.blocks_svd import nearest_upsample_2x, upsample2x_conv3x3
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 7, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        nearest_upsample_2x(x), w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = upsample2x_conv3x3(x, w, b, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
