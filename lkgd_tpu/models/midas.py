@@ -265,9 +265,25 @@ class FeatureFusionBlock(nn.Module):
         return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
 
 
+def resize_pos_embed(pos: jnp.ndarray, grid_hw: Tuple[int, int],
+                     num_prefix: int = 1) -> jnp.ndarray:
+    """MiDaS ``_resize_pos_embed`` (isl-org vit.py forward_flex): keep the prefix
+    (cls) tokens, bilinearly resample the square grid part to ``grid_hw``
+    (F.interpolate mode='bilinear', align_corners=False == jax.image 'linear')."""
+    tok, grid = pos[:, :num_prefix], pos[0, num_prefix:]
+    gs_old = int(round(float(np.sqrt(grid.shape[0]))))
+    grid = grid.reshape(gs_old, gs_old, -1)
+    grid = jax.image.resize(grid.astype(jnp.float32),
+                            (grid_hw[0], grid_hw[1], grid.shape[-1]), method="linear",
+                            antialias=False)  # F.interpolate(bilinear) never antialiases
+    grid = grid.reshape(1, grid_hw[0] * grid_hw[1], -1).astype(pos.dtype)
+    return jnp.concatenate([tok, grid], axis=1)
+
+
 class DPTHybridDepth(nn.Module):
     """Full DPT-hybrid monocular depth model. Input (B, H, W, 3) normalized to
-    mean/std 0.5 (i.e. 2*img-1); H=W=image_size. Returns (B, H, W) inverse depth."""
+    mean/std 0.5 (i.e. 2*img-1); H, W any multiple of 32 (non-native grids get the
+    MiDaS forward_flex pos-embed bilinear resample). Returns (B, H, W) inverse depth."""
 
     config: MidasConfig = MidasConfig()
     dtype: jnp.dtype = jnp.float32
@@ -276,7 +292,8 @@ class DPTHybridDepth(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         b = x.shape[0]
-        gh = gw = cfg.image_size // 16
+        gh, gw = x.shape[1] // 16, x.shape[2] // 16
+        native = cfg.image_size // 16
 
         s0, s1, s2 = HybridBackbone(cfg, dtype=self.dtype, name="backbone")(
             x.astype(self.dtype))
@@ -287,7 +304,9 @@ class DPTHybridDepth(nn.Module):
         tokens = tokens.reshape(b, gh * gw, cfg.vit_dim)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.vit_dim))
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, gh * gw + 1, cfg.vit_dim))
+                         (1, native * native + 1, cfg.vit_dim))
+        if (gh, gw) != (native, native):
+            pos = resize_pos_embed(pos, (gh, gw))
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, cfg.vit_dim)), tokens], 1)
         tokens = tokens + pos.astype(self.dtype)
@@ -720,9 +739,33 @@ def make_depth_processor(checkpoint_path: str, cfg: Optional[MidasConfig] = None
     return process
 
 
+def midas_resize_shape(h: int, w: int, target: int = 384, multiple: int = 32,
+                       method: str = "minimal") -> Tuple[int, int]:
+    """MiDaS ``transforms.Resize`` output shape with keep_aspect_ratio=True and
+    ensure_multiple_of (isl-org midas/transforms.py; the dpt transforms in
+    controlnet_aux's midas/api.py use resize_mode='minimal'): pick the height/width
+    scale toward ``target`` that changes the image least ('minimal': the scale with
+    |1-s| smallest; 'lower_bound': both sides >= target), then round each side to the
+    nearest multiple of ``multiple``."""
+    sh, sw = target / h, target / w
+    if method == "minimal":
+        s = sh if abs(1 - sh) < abs(1 - sw) else sw
+    elif method == "lower_bound":
+        s = max(sh, sw)
+    else:  # upper_bound
+        s = min(sh, sw)
+
+    def to_mult(v):
+        return max(multiple, int(round(v / multiple) * multiple))
+
+    return to_mult(s * h), to_mult(s * w)
+
+
 def make_midas_processor(checkpoint_path: str, cfg: Optional[MidasConfig] = None):
     """control_preprocess-registerable depth callable (controlnet_aux MidasDetector:
-    resize to 384, normalize (x-0.5)/0.5, run, min-max normalize the inverse depth)."""
+    aspect-preserving 'minimal' resize to multiples of 32 toward 384, normalize
+    (x-0.5)/0.5, run, min-max normalize the inverse depth). Non-native grids resample
+    the pos_embed (forward_flex); each distinct input shape compiles once."""
     from lkgd_tpu.utils.porting import load_state_dict
 
     cfg = cfg or MidasConfig()
@@ -736,8 +779,8 @@ def make_midas_processor(checkpoint_path: str, cfg: Optional[MidasConfig] = None
         import cv2
 
         h, w = image.shape[:2]
-        inp = cv2.resize(image, (cfg.image_size, cfg.image_size),
-                         interpolation=cv2.INTER_CUBIC)
+        rh, rw = midas_resize_shape(h, w, target=cfg.image_size)
+        inp = cv2.resize(image, (rw, rh), interpolation=cv2.INTER_CUBIC)
         depth = np.asarray(fn(jnp.asarray((inp[None] - 0.5) / 0.5, jnp.float32)))[0]
         depth = (depth - depth.min()) / (depth.max() - depth.min() + 1e-8)
         depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_LINEAR)

@@ -161,9 +161,17 @@ def _torch_midas(sd_np, cfg: MidasConfig, x_nchw):
     d = cfg.vit_dim
     t = F.conv2d(s2, sd[v + "patch_embed.proj.weight"], sd[v + "patch_embed.proj.bias"])
     b = t.shape[0]
+    gh, gw = t.shape[2], t.shape[3]
     tokens = t.flatten(2).transpose(1, 2)
     cls = sd[v + "cls_token"].expand(b, 1, d)
-    tokens = torch.cat([cls, tokens], dim=1) + sd[v + "pos_embed"]
+    pos = sd[v + "pos_embed"]
+    if pos.shape[1] != gh * gw + 1:
+        # MiDaS vit.py forward_flex _resize_pos_embed: bilinear resample of the grid
+        gs_old = int(round(float((pos.shape[1] - 1) ** 0.5)))
+        grid = pos[:, 1:].reshape(1, gs_old, gs_old, d).permute(0, 3, 1, 2)
+        grid = F.interpolate(grid, size=(gh, gw), mode="bilinear", align_corners=False)
+        pos = torch.cat([pos[:, :1], grid.flatten(2).transpose(1, 2)], dim=1)
+    tokens = torch.cat([cls, tokens], dim=1) + pos
     hooks = []
     heads = cfg.vit_heads
     for i in range(cfg.vit_depth):
@@ -182,14 +190,12 @@ def _torch_midas(sd_np, cfg: MidasConfig, x_nchw):
         if i in cfg.hooks:
             hooks.append(tokens)
 
-    g = cfg.image_size // 16
-
     def readout(tk, n):
         ap = f"pretrained.act_postprocess{n}."
         clsr = tk[:, :1].expand_as(tk[:, 1:])
         y = torch.cat([tk[:, 1:], clsr], dim=-1)
         y = F.gelu(y @ sd[ap + "0.project.0.weight"].T + sd[ap + "0.project.0.bias"])
-        y = y.transpose(1, 2).reshape(b, d, g, g)
+        y = y.transpose(1, 2).reshape(b, d, gh, gw)
         y = F.conv2d(y, sd[ap + "3.weight"], sd[ap + "3.bias"])
         if n == 4:
             y = F.conv2d(y, sd[ap + "4.weight"], sd[ap + "4.bias"], stride=2, padding=1)
@@ -258,6 +264,41 @@ class TestMidas:
         out = jax.eval_shape(
             lambda p: DPTHybridDepth(cfg).apply(p, jnp.zeros((1, 384, 384, 3))), shapes)
         assert out.shape == (1, 384, 384)
+
+    def test_forward_flex_nonsquare_matches_torch(self):
+        """Aspect-preserving inputs (ADVICE r3): a non-native non-square multiple-of-32
+        input resamples the pos_embed (MiDaS forward_flex) — must match the torch
+        transcription running the same F.interpolate resample."""
+        sd = _synthetic_sd(CFG)
+        model = DPTHybridDepth(CFG)
+        template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, CFG.image_size, CFG.image_size, 3)))
+        params = port_midas(sd, template, strict=True)
+
+        h, w = CFG.image_size + 32, CFG.image_size - 32  # non-square, /32
+        rng = np.random.default_rng(5)
+        x = (rng.uniform(size=(1, h, w, 3)).astype(np.float32) - 0.5) / 0.5
+        got = np.asarray(model.apply(params, jnp.asarray(x)))
+        want = _torch_midas(sd, CFG, x.transpose(0, 3, 1, 2)).numpy()
+        assert got.shape == want.shape == (1, h, w)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
+
+    def test_midas_resize_shape(self):
+        """midas_resize_shape reproduces the isl-org Resize('minimal', multiple-of-32)
+        arithmetic used by controlnet_aux MidasDetector."""
+        from lkgd_tpu.models.midas import midas_resize_shape
+
+        # landscape 480x640: height scale 0.8 is closer to 1 than width 0.6
+        assert midas_resize_shape(480, 640) == (384, 512)
+        # portrait mirrors
+        assert midas_resize_shape(640, 480) == (512, 384)
+        # native square is a fixed point
+        assert midas_resize_shape(384, 384) == (384, 384)
+        # lower_bound: both sides >= 384
+        assert midas_resize_shape(480, 640, method="lower_bound") == (384, 512)
+        assert midas_resize_shape(640, 480, method="lower_bound") == (512, 384)
+        # never collapses below one multiple
+        assert midas_resize_shape(16, 16) == (384, 384)
 
     def test_porter_strict_coverage(self):
         """Dropping any tensor must fail strict porting (the naming audit)."""
