@@ -225,7 +225,10 @@ def bench_train(reps):
                                                make_optimizer, make_svd_train_step)
 
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))
-    use_8bit = bool(os.environ.get("LKGD_BENCH_8BIT"))  # int8 Adam moments (optim8bit)
+    # int8 Adam moments (optim8bit); "packed" = flat-packed moment layout (same math,
+    # O(1) quantization chains — the compile-time fix measured in BASELINE.md r4)
+    use_8bit = os.environ.get("LKGD_BENCH_8BIT", "")
+    use_8bit = "packed" if use_8bit == "packed" else bool(use_8bit)
     b, t, h, w = (1, 2, 8, 8) if small else (1, 8, 64, 64)  # 512x512 px -> 64x64 latents
     kw = dict(
         num_frames=t, knowledge_fusion=True, remat=True,
@@ -491,6 +494,96 @@ def bench_mesh_dryrun():
     }))
 
 
+def bench_mesh_joint_dryrun():
+    """Certify the FULL-SIZE 576x1024 joint (trans/smooth) UNet graphs on a v5e-8 mesh.
+
+    These configs OOM a single 16 GB chip (r3_results: trans_full/smooth_full rc=1),
+    so the mesh is their ONLY deployment path — this mode AOT-compiles each joint step
+    against the REAL ``v5e:2x4`` TPU topology descriptor (PJRT deviceless compile: real
+    fusion, real buffer assignment, Mosaic flash kernels in-graph — unlike a CPU-mesh
+    compile, whose unfused temp numbers overstate HBM by 10-30x), audits every
+    collective, and reads per-chip HBM from the executable's memory analysis to assert
+    < 16 GB (VERDICT r3 item 4). Reference graphs: pipeline...trans.py:541-575
+    (4 CFG-doubled joint rows), pipeline...smooth.py:526-594 (chunks x 4 stream rows;
+    NC=4 covers the 28-49f range and shards 8 ways)."""
+    import jax
+    import numpy as np
+    from jax.experimental import topologies
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    # the local default backend is CPU (deviceless AOT) — force the flash kernels in
+    # so the certified graph IS the deployment graph (see ops.attention._use_flash)
+    os.environ.setdefault("LKGD_FORCE_FLASH", "1")
+
+    from lkgd_tpu.models.configs import JointAttentionConfig, LoraRouter, LoraRule, SVDUNetConfig
+    from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+    from lkgd_tpu.parallel.collective_audit import audit_compiled, summarize
+
+    topo_devs = topologies.get_topology_desc("v5e:2x4", "tpu").devices
+
+    HBM = 16 * 1024**3
+    configs = [
+        # (tag, rows, frames(padded), mesh layout {data, context})
+        ("trans_full_576x1024", 4, 16, {"data": 2, "context": 4}),
+        ("trans_full_576x1024", 4, 16, {"data": 4, "context": 2}),
+        ("smooth_full_576x1024_32f", 16, 16, {"data": 8, "context": 1}),
+        ("smooth_full_576x1024_32f", 16, 16, {"data": 4, "context": 2}),
+    ]
+    for tag, rows, T, layout in configs:
+        mesh = Mesh(np.array(topo_devs).reshape(layout["data"], layout["context"]),
+                    ("data", "context"))
+        mask = tuple([0, 1] * (rows // 2))
+        cfg = SVDUNetConfig(
+            num_frames=T,
+            joint=JointAttentionConfig(post="conv", flip=True, mask=mask, spatial=True,
+                                       temporal=True),
+            lora=LoraRouter(rules=(
+                LoraRule("*attn1n*", "yx_lora", 64, 8.0, mask),)))
+        unet = UNetSpatioTemporalCondition(cfg, dtype=jnp.bfloat16)
+        H, W = 72, 128
+        rep = NamedSharding(mesh, P())
+        pshapes = jax.eval_shape(lambda u=unet, c=cfg, r=rows, t=T: u.init(
+            jax.random.PRNGKey(0), jnp.zeros((r, t, H, W, c.in_channels), jnp.bfloat16),
+            jnp.zeros((r,)), jnp.zeros((r, 1, c.cross_attention_dim), jnp.bfloat16),
+            jnp.zeros((r, 3))))
+        pshapes = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep), pshapes)
+        sample = jax.ShapeDtypeStruct((rows, T, H, W, cfg.in_channels), jnp.bfloat16,
+                                      sharding=NamedSharding(mesh, P("data", "context")))
+        ts = jax.ShapeDtypeStruct((rows,), jnp.float32)
+        ehs = jax.ShapeDtypeStruct((rows, 1, cfg.cross_attention_dim), jnp.bfloat16)
+        ids = jax.ShapeDtypeStruct((rows, 3), jnp.float32)
+        t0 = time.time()
+        with jax.set_mesh(mesh):
+            compiled = jax.jit(
+                unet.apply,
+                out_shardings=NamedSharding(mesh, P("data", "context")),
+            ).lower(pshapes, sample, ts, ehs, ids).compile()
+        found = audit_compiled(compiled)
+        ma = compiled.memory_analysis()
+        peak = int(getattr(ma, "peak_memory_in_bytes", 0))
+        args_b = int(getattr(ma, "argument_size_in_bytes", 0))
+        temp_b = int(getattr(ma, "temp_size_in_bytes", 0))
+        out_b = int(getattr(ma, "output_size_in_bytes", 0))
+        ici = sum(b for entries in found.values() for b, _ in entries)
+        total = args_b + temp_b + out_b
+        print(f"# {tag} mesh={layout}: compile {time.time()-t0:.1f}s", file=sys.stderr)
+        print(summarize(found), file=sys.stderr)
+        print(json.dumps({
+            "metric": f"joint mesh certification: {tag}",
+            "mesh": layout,
+            "per_chip_bytes": {"arguments": args_b, "temp": temp_b, "output": out_b,
+                               "peak": peak, "total_args_temp_out": total},
+            "per_chip_gb": round(total / 1024**3, 2),
+            "fits_16gb": bool(total < HBM),
+            "ici_bytes_per_step": ici,
+            "ici_ms_per_step": round(ici / 8 / 90e9 * 1e3, 2),
+            "collectives": {k: len(v) for k, v in found.items()},
+        }))
+
+
 def _require_device(timeout_s: float = 180.0) -> None:
     """Fail fast (rc=1) if the backend hangs or is CPU: a dead device tunnel would
     otherwise hang jax.devices() indefinitely, and a silent CPU fallback would report a
@@ -515,6 +608,9 @@ def main():
     enable_persistent_cache()
     if os.environ.get("LKGD_BENCH_MESH") == "dryrun":
         bench_mesh_dryrun()
+        return
+    if os.environ.get("LKGD_BENCH_MESH") == "joint":
+        bench_mesh_joint_dryrun()
         return
     _require_device()
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))

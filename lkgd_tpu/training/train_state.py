@@ -58,7 +58,8 @@ def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 1e-2,
         from lkgd_tpu.training.optim8bit import adamw8bit
 
         adam = adamw8bit(learning_rate, b1=b1, b2=b2, eps=eps,
-                         weight_decay=weight_decay)
+                         weight_decay=weight_decay,
+                         packed=(use_8bit == "packed"))
     else:
         adam = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                            weight_decay=weight_decay)

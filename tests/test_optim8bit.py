@@ -112,3 +112,56 @@ class TestAdam8bit:
         u, _ = tx.update(g, state, params)
         assert float(jnp.abs(u["lora_w"]).max()) > 0
         assert float(jnp.abs(u["frozen_w"]).max()) == 0
+
+
+class TestPackedEquivalence:
+    def test_packed_bitwise_matches_per_leaf(self):
+        """packed=True must produce BIT-IDENTICAL updates and quantized moments to the
+        per-leaf variant (per-leaf block-boundary padding preserves the block
+        partition) across several steps, with mixed small/big leaves."""
+        from lkgd_tpu.training.optim8bit import scale_by_adam8bit_packed
+
+        rng = np.random.default_rng(3)
+        params = {
+            "big_w": jnp.asarray(rng.normal(size=(300, 20)).astype(np.float32)),
+            "odd_w": jnp.asarray(rng.normal(size=(5001,)).astype(np.float32)),
+            "tiny_b": jnp.asarray(rng.normal(size=(7,)).astype(np.float32)),
+        }
+        ref = scale_by_adam8bit(min_8bit_size=4096)
+        got = scale_by_adam8bit_packed(min_8bit_size=4096)
+        s_ref, s_got = ref.init(params), got.init(params)
+        upd = jax.jit(lambda g, s: ref.update(g, s))
+        updp = jax.jit(lambda g, s: got.update(g, s))
+        for step in range(4):
+            g = jax.tree.map(
+                lambda x: jnp.asarray(
+                    rng.normal(size=x.shape).astype(np.float32)) * 0.1, params)
+            u_ref, s_ref = upd(g, s_ref)
+            u_got, s_got = updp(g, s_got)
+            for k in params:
+                np.testing.assert_array_equal(np.asarray(u_ref[k]),
+                                              np.asarray(u_got[k]), err_msg=k)
+
+    def test_packed_all_small(self):
+        """Degenerate case: no big leaves -> zero-size packed buffers still jit."""
+        from lkgd_tpu.training.optim8bit import scale_by_adam8bit_packed
+
+        params = {"a": jnp.ones((8,)), "b": jnp.ones((3, 3))}
+        tx = scale_by_adam8bit_packed()
+        state = tx.init(params)
+        u, state = jax.jit(tx.update)(params, state)
+        assert u["a"].shape == (8,) and u["b"].shape == (3, 3)
+
+    def test_packed_adamw_integration(self):
+        """adamw8bit(packed=True) under multi_transform masking (the make_optimizer
+        path) runs and moves only trainable leaves."""
+        from lkgd_tpu.training.train_state import make_optimizer
+
+        params = {"lora_a": jnp.ones((80, 80)), "frozen_w": jnp.ones((80, 80))}
+        opt = make_optimizer(1e-2, trainable_predicate=lambda p: "lora" in p,
+                             use_8bit="packed")
+        state = opt.init(params)
+        g = jax.tree.map(jnp.ones_like, params)
+        u, state = jax.jit(opt.update)(g, state, params)
+        assert float(jnp.abs(u["lora_a"]).max()) > 0
+        assert float(jnp.abs(u["frozen_w"]).max()) == 0
