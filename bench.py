@@ -562,6 +562,10 @@ def bench_mesh_joint_dryrun():
                 out_shardings=NamedSharding(mesh, P("data", "context")),
             ).lower(pshapes, sample, ts, ehs, ids).compile()
         found = audit_compiled(compiled)
+        # the certified graph must BE the deployment graph: count the Mosaic custom
+        # calls so the artifact proves the flash kernels partitioned in (a silent
+        # XLA-attention fallback via ops.attention's try/except would also compile)
+        mosaic_calls = compiled.as_text().count("tpu_custom_call")
         ma = compiled.memory_analysis()
         peak = int(getattr(ma, "peak_memory_in_bytes", 0))
         args_b = int(getattr(ma, "argument_size_in_bytes", 0))
@@ -581,6 +585,7 @@ def bench_mesh_joint_dryrun():
             "ici_bytes_per_step": ici,
             "ici_ms_per_step": round(ici / 8 / 90e9 * 1e3, 2),
             "collectives": {k: len(v) for k, v in found.items()},
+            "mosaic_calls": mosaic_calls,
         }))
 
 

@@ -11,8 +11,9 @@ run() {
   local rc=$?
   echo "{\"tag\": \"$tag\", \"rc\": $rc, \"result\": ${line:-null}}" >> "$OUT"
 }
-run vmem64 LKGD_BENCH_REPS=2 XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536
-run vmem96 LKGD_BENCH_REPS=2 XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=98304
+# UNRUNNABLE (BASELINE.md session 12): the axon PJRT build aborts on this flag
+# run vmem64 LKGD_BENCH_REPS=2 XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=65536
+# run vmem96 LKGD_BENCH_REPS=2 XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=98304
 run train LKGD_BENCH_PIPELINE=train LKGD_BENCH_REPS=3
 run trans LKGD_BENCH_PIPELINE=trans LKGD_BENCH_REPS=2
 run controlnet LKGD_BENCH_PIPELINE=controlnet LKGD_BENCH_REPS=2

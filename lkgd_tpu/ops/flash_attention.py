@@ -613,11 +613,81 @@ _split_heads.defvjp(_split_heads_fwd, _split_heads_bwd)
 _merge_heads.defvjp(_merge_heads_fwd, _merge_heads_bwd)
 
 
+# --------------------------------------------------------------- SPMD mesh sharding
+# A Mosaic custom call cannot be partitioned by XLA's SPMD pass — compiling the UNet
+# under jit-over-mesh (the v5e-8 joint deployment, bench.py LKGD_BENCH_MESH=joint) dies
+# with "Mosaic kernels cannot be automatically partitioned". Both flash entry points
+# therefore wrap themselves in ``jax.shard_map`` whenever tracing under an active mesh
+# (``jax.set_mesh``), assigning each Auto mesh axis to the dimension the deployment
+# shardings actually use:
+#
+#   * batch dim first — spatial attention's batch is rows*T, which row-major-flattens
+#     the (data, context)-sharded (rows, T) sample, so a P(("data", "context")) batch
+#     spec matches the incoming sharding exactly: a zero-collective annotation handing
+#     each chip its local rows;
+#   * head dim for axes the batch can't absorb — megatron-style TP (parallel/tp.py)
+#     column-shards to_q/to_k/to_v, so q/k/v arrive head-sharded over ``model``;
+#   * if neither divides, a fully-replicated manual region (every device computes the
+#     whole call redundantly) — never optimal, but it compiles and is only reachable
+#     for degenerate shapes.
+#
+# Axes already mapped by an enclosing shard_map (ring/Ulysses SP, pp.py) show up as
+# Manual and are skipped, so nesting is safe.
+
+
+def _auto_shard_axes(b: int, h: int):
+    """(mesh, batch_axes, head_axes) for sharding a (B, S, H, D) flash call over the
+    active mesh's Auto axes at trace time; (None, (), ()) when there is no active mesh."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.axis_names:
+        return None, (), ()
+    from jax.sharding import AxisType
+
+    baxes, haxes = [], []
+    bprod = hprod = 1
+    any_auto = False
+    for name, t in zip(mesh.axis_names, mesh.axis_types):
+        if t != AxisType.Auto or mesh.shape[name] == 1:
+            continue
+        any_auto = True
+        size = mesh.shape[name]
+        if b % (bprod * size) == 0:
+            baxes.append(name)
+            bprod *= size
+        elif h % (hprod * size) == 0:
+            haxes.append(name)
+            hprod *= size
+    if not any_auto:
+        return None, (), ()
+    return mesh, tuple(baxes), tuple(haxes)
+
+
+def _spmd_wrap(fn, mesh, baxes, haxes, n_lse: int):
+    """shard_map ``fn(q, k, v)`` with the (B, S, H, D) batch/head dims mapped over
+    ``baxes``/``haxes`` (either may be empty — fully replicated manual region when both
+    are). ``n_lse``: number of trailing (B, S, H) outputs after the (B, S, H, D) one."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(baxes or None, None, haxes or None, None)
+    lse_spec = P(baxes or None, None, haxes or None)
+    out_specs = spec if n_lse == 0 else (spec,) + (lse_spec,) * n_lse
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=out_specs, check_vma=False)
+
+
 def flash_attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     """(B, S, H, D) attention returning (out, lse2) where ``lse2`` (B, S_q, H, fp32) is the
     log2-domain logsumexp of the scaled logits. Forward-only (no custom VJP) — used by
     ring attention (parallel/sequence.py) to combine per-K/V-block partial softmaxes
-    exactly: out = Σ_blk out_blk · 2^(lse_blk − LSE)."""
+    exactly: out = Σ_blk out_blk · 2^(lse_blk − LSE). Under an active mesh the call is
+    shard_mapped over the batch/head dims (see _auto_shard_axes)."""
+    mesh, baxes, haxes = _auto_shard_axes(q.shape[0], q.shape[2])
+    if mesh is not None:
+        return _spmd_wrap(_flash_with_lse_local, mesh, baxes, haxes, 1)(q, k, v)
+    return _flash_with_lse_local(q, k, v)
+
+
+def _flash_with_lse_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
     plan = _plan_blocks(s_q, s_k, d)
@@ -642,7 +712,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     """(B, S, H, D) softmax attention via the Pallas kernel. Differentiable: a custom VJP
     recomputes the probabilities per block from the saved logsumexp (standard flash
     backward; two kernels for dQ and dK/dV). Head split/merge run as Pallas relayout
-    kernels so surrounding ops keep standard layouts (see the layout-firewall note)."""
+    kernels so surrounding ops keep standard layouts (see the layout-firewall note).
+    Under an active mesh the call is shard_mapped over the batch/head dims (see
+    _auto_shard_axes) so the SPMD partitioner never sees the Mosaic custom call."""
+    mesh, baxes, haxes = _auto_shard_axes(q.shape[0], q.shape[2])
+    if mesh is not None:
+        return _spmd_wrap(_flash_attention_local, mesh, baxes, haxes, 0)(q, k, v)
+    return _flash_attention_local(q, k, v)
+
+
+def _flash_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
     # sequences that no block tiles (e.g. CogVideoX's 17776 video+text tokens) are padded
