@@ -207,13 +207,29 @@ def _partner_streams(x: jnp.ndarray, joint: JointAttentionConfig, num_frames: in
     ``flip_frames`` (spatial layout rows = B*T)."""
     s = len(joint.mask)
     rows, n, c = x.shape
-    perm = jnp.asarray(joint.partner_perm, dtype=jnp.int32)
+    perm_t = joint.partner_perm
+    # Alternating masks (every reference config: (0,1)*k) pair ADJACENT streams, and the
+    # swap is then a reshape + reverse of a size-2 axis instead of a jnp.take gather.
+    # Same values, radically different SPMD lowering: under the v5e-8 row-sharded mesh a
+    # static-index take over the sharded stream axis all-gathers the FULL activation per
+    # joint block (measured: 379 all-gathers x ~785 MiB = 297 GiB/step on the smooth
+    # graph), while the pair-local reverse is collective-free because partner rows live
+    # on the same chip (audited A/B in BASELINE.md session 14). Single-chip: both are
+    # one copy.
+    pair_swap = all(p == i ^ 1 for i, p in enumerate(perm_t))
     if flip_frames and joint.flip:
-        xr = x.reshape(s, rows // s // num_frames, num_frames, n, c)
-        xr = jnp.take(xr, perm, axis=0)[:, :, ::-1]
+        if pair_swap:
+            xr = x.reshape(s // 2, 2, rows // s // num_frames, num_frames, n, c)
+            xr = xr[:, ::-1, :, ::-1]
+        else:
+            xr = x.reshape(s, rows // s // num_frames, num_frames, n, c)
+            xr = jnp.take(xr, jnp.asarray(perm_t, jnp.int32), axis=0)[:, :, ::-1]
     else:
-        xr = x.reshape(s, rows // s, n, c)
-        xr = jnp.take(xr, perm, axis=0)
+        if pair_swap:
+            xr = x.reshape(s // 2, 2, rows // s, n, c)[:, ::-1]
+        else:
+            xr = x.reshape(s, rows // s, n, c)
+            xr = jnp.take(xr, jnp.asarray(perm_t, jnp.int32), axis=0)
     return xr.reshape(rows, n, c)
 
 
