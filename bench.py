@@ -6,9 +6,14 @@ steps -> chunked temporal VAE decode) on the default device and prints ONE JSON 
    "vs_baseline": ...}
 vs_baseline = (10 s north-star target from BASELINE.json) / measured — >1 beats the target.
 
+The headline JSON line is (re)printed after EVERY timed rep with the best-so-far value
+(flushed), so a driver timeout still leaves a parsable line in the tail; a 60 s stderr
+heartbeat shows liveness during long compiles. The LAST stdout line is the final value.
+
 Env overrides:
   LKGD_BENCH_SMALL=1     tiny smoke config
   LKGD_BENCH_REPS=N      timing repetitions (default 3)
+  LKGD_BENCH_DEADLINE=S  stop timing reps early past S seconds elapsed (default 1800)
   LKGD_BENCH_PIPELINE=   base (default) | trans | controlnet | smooth | cogvideox
       base       the driver metric: plain img2vid (reference run_inference_svd.py)
       trans      LKGD flagship: joint attention (spatial+temporal, attn1n branch per
@@ -90,21 +95,51 @@ def _pipeline_config(**kw):
     return SVDPipelineConfig(**base)
 
 
+def _emit(label, value):
+    """Print the headline JSON line. Called after EVERY timed rep (best-so-far value):
+    if the driver's timeout kills the process mid-bench, the tail still holds a parsable
+    line (r4's official artifact was rc=124/parsed=null while the real number existed
+    only in the builder's log — never again)."""
+    print(json.dumps({
+        "metric": label,
+        "value": round(float(value), 3),
+        "unit": "s",
+        "vs_baseline": round(NORTH_STAR / float(value), 3),
+    }), flush=True)
+
+
 def _time(run, reps, label):
+    import threading
+
+    start = time.time()
+    stop = threading.Event()
+
+    def _beat():  # progress heartbeat so a driver tail shows liveness, not silence
+        while not stop.wait(60.0):
+            print(f"# heartbeat {time.time() - start:.0f}s", file=sys.stderr, flush=True)
+
+    threading.Thread(target=_beat, daemon=True).start()
+    deadline = float(os.environ.get("LKGD_BENCH_DEADLINE", "1800") or 0)
     t0 = time.time()
     out = run()
     # host-fetch a scalar: block_until_ready over the axon relay can return early
     _ = float(jnp.asarray(out).ravel()[0])
-    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     times = []
-    for _i in range(reps):
+    for i in range(reps):
         t0 = time.time()
         out = run()
         _ = float(jnp.asarray(out).ravel()[0])
         times.append(time.time() - t0)
+        _emit(label, min(times))
+        if deadline and time.time() - start > deadline:
+            print(f"# deadline {deadline:.0f}s reached after rep {i + 1}/{reps}",
+                  file=sys.stderr, flush=True)
+            break
+    stop.set()
     value = float(min(times))
-    print(f"# times: {[round(t, 3) for t in times]}", file=sys.stderr)
+    print(f"# times: {[round(t, 3) for t in times]}", file=sys.stderr, flush=True)
     return value
 
 
@@ -174,8 +209,9 @@ def bench_trans(reps):
     jax.block_until_ready(params)
     img = _rng_image((2, pipe.config.height, pipe.config.width, 3))  # [start, end]
     rng = jax.random.PRNGKey(1)
-    return (f"sec/clip trans joint-attn (2 streams x 14f x {pipe.config.width}x{pipe.config.height}, 25 steps)",
-            _time(lambda: pipe.generate(params, img, rng), reps, "trans"))
+    label = (f"sec/clip trans joint-attn (2 streams x 14f x "
+             f"{pipe.config.width}x{pipe.config.height}, 25 steps)")
+    return label, _time(lambda: pipe.generate(params, img, rng), reps, label)
 
 
 def bench_controlnet(reps):
@@ -196,8 +232,9 @@ def bench_controlnet(reps):
         latents = pipe._generate(params, img, rng, control=ctrl)
         return pipe._decode(params["vae"], latents)
 
-    return (f"sec/clip controlnet-sdv (14f x {pipe.config.width}x{pipe.config.height}, 25 steps)",
-            _time(run, reps, "controlnet"))
+    label = (f"sec/clip controlnet-sdv (14f x "
+             f"{pipe.config.width}x{pipe.config.height}, 25 steps)")
+    return label, _time(run, reps, label)
 
 
 def bench_smooth(reps):
@@ -211,8 +248,9 @@ def bench_smooth(reps):
     jax.block_until_ready(params)
     video = _rng_image((total, pipe.config.height, pipe.config.width, 3))
     rng = jax.random.PRNGKey(1)
-    return (f"sec/refine smooth ({total}f x {pipe.config.width}x{pipe.config.height}, steps 10..25, joint chunks)",
-            _time(lambda: pipe.generate(params, video, rng), reps, "smooth"))
+    label = (f"sec/refine smooth ({total}f x {pipe.config.width}x{pipe.config.height}, "
+             f"steps 10..25, joint chunks)")
+    return label, _time(lambda: pipe.generate(params, video, rng), reps, label)
 
 
 def bench_train(reps):
@@ -275,7 +313,7 @@ def bench_train(reps):
     label = ("sec/step train svd-lora (smoke config)" if small else
              "sec/step train svd-lora (512x512 x 8f, bs1, quaternion+LoRA, remat"
              + (", 8-bit adam)" if use_8bit else ")"))
-    return label, _time(run, reps, "train")
+    return label, _time(run, reps, label)
 
 
 def bench_cogvideox(reps):
@@ -307,8 +345,8 @@ def bench_cogvideox(reps):
     print(f"# cogvideox params: {n/1e9:.2f}B bf16", file=sys.stderr)
 
     fwd = jax.jit(model.apply)
-    return ("sec/step cogvideox-5b DiT (CFG-doubled, 13x30x45+226 tokens)",
-            _time(lambda: fwd(params, sample, text, timestep), reps, "cogvideox"))
+    label = "sec/step cogvideox-5b DiT (CFG-doubled, 13x30x45+226 tokens)"
+    return label, _time(lambda: fwd(params, sample, text, timestep), reps, label)
 
 
 def bench_vae(reps):
@@ -329,7 +367,6 @@ def bench_vae(reps):
     z = jax.random.normal(jax.random.PRNGKey(1), (t, zh, zw, 4), jnp.bfloat16)
     dec = jax.jit(lambda p, zz: vae.apply(p, zz, t,
                                           method=AutoencoderKLTemporalDecoder.decode))
-    svd_s = _time(lambda: dec(params, z), reps, "svd-vae-decode")
 
     from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
                                                CogVideoXVAEConfig, chunked_decode)
@@ -346,10 +383,14 @@ def bench_vae(reps):
     zc = jax.random.normal(jax.random.PRNGKey(2), (1, ct, ch, cw, ccfg.latent_channels),
                            jnp.bfloat16) * 0.5
     cog_s = _time(lambda: chunked_decode(cvae, cparams, zc, chunk_latent_frames=2),
-                  max(1, reps - 1), "cogvideox-chunked-decode")
+                  max(1, reps - 1),
+                  f"sec cogvideox chunked decode ({4 * (ct - 1) + 1}f x {ch * 8}x{cw * 8}, chunk=2)")
     print(f"# cogvideox chunked decode ({4 * (ct - 1) + 1}f x {ch * 8}x{cw * 8}, "
           f"chunk=2): {cog_s:.3f} s", file=sys.stderr)
-    return (f"sec SVD VAE decode ({t}f x {zh * 8}x{zw * 8})", svd_s)
+    # the primary (SVD decode) metric is timed LAST so its line is the final stdout line
+    label = f"sec SVD VAE decode ({t}f x {zh * 8}x{zw * 8})"
+    svd_s = _time(lambda: dec(params, z), reps, label)
+    return label, svd_s
 
 
 def bench_mesh_dryrun():
@@ -566,6 +607,11 @@ def bench_mesh_joint_dryrun():
         # calls so the artifact proves the flash kernels partitioned in (a silent
         # XLA-attention fallback via ops.attention's try/except would also compile)
         mosaic_calls = compiled.as_text().count("tpu_custom_call")
+        if mosaic_calls == 0:
+            raise SystemExit(
+                f"joint certification {tag}: 0 Mosaic custom calls in the compiled "
+                "graph — the flash kernels fell back to XLA attention, so this would "
+                "certify a graph that is NOT the deployment graph")
         ma = compiled.memory_analysis()
         peak = int(getattr(ma, "peak_memory_in_bytes", 0))
         args_b = int(getattr(ma, "argument_size_in_bytes", 0))
@@ -639,12 +685,9 @@ def main():
     else:
         raise SystemExit(f"unknown LKGD_BENCH_PIPELINE={which!r}")
 
-    print(json.dumps({
-        "metric": label,
-        "value": round(value, 3),
-        "unit": "s",
-        "vs_baseline": round(NORTH_STAR / value, 3),
-    }))
+    # the official line was already emitted by _time after each rep (best-so-far);
+    # the LAST line on stdout is the final min-of-reps value
+    del label, value
 
 
 if __name__ == "__main__":

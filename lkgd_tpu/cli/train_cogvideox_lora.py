@@ -41,6 +41,21 @@ def main():
     p.add_argument("--use-8bit-adam", action="store_true",
                    help="int8 Adam moments (training/optim8bit.py; the reference CLIs "
                         "expose the same bitsandbytes switch)")
+    p.add_argument("--weights",
+                   help="safetensors dir with transformer.safetensors (+ optionally "
+                        "vae_3d.safetensors for validation decode) — fine-tune FROM the "
+                        "pretrained model like the reference lora_trainer (same layout "
+                        "as run_inference_cogvideox --weights)")
+    p.add_argument("--report-to", choices=["jsonl", "tensorboard", "wandb"],
+                   default="jsonl",
+                   help="metrics tracker mirror (reference tracker_name/--report_to); "
+                        "JSONL logging is always on")
+    p.add_argument("--validation-every", type=int, default=0,
+                   help="every N steps, denoise a clip from the first cached sample's "
+                        "conditioning with the CURRENT params (reference trainer "
+                        "validation); writes latents .npy, and a GIF when --weights "
+                        "includes vae_3d.safetensors")
+    p.add_argument("--num-validation-steps", type=int, default=50)
     args = p.parse_args()
 
     import jax
@@ -116,6 +131,29 @@ def main():
         jnp.zeros((B,) + prompt.shape), jnp.zeros((B,)),
         domain_features=dom0, flow_features=dom0)
 
+    vae_params = None
+    if args.weights:
+        import os
+
+        from lkgd_tpu.utils import porting
+
+        t_path = os.path.join(args.weights, "transformer.safetensors")
+        if os.path.exists(t_path):
+            params = porting.port_cogvideox(porting.load_safetensors(t_path), params,
+                                            strict=False)
+            print(f"loaded transformer from {t_path}")
+        v_path = os.path.join(args.weights, "vae_3d.safetensors")
+        if os.path.exists(v_path):
+            from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                                       CogVideoXVAEConfig)
+
+            vcfg = CogVideoXVAEConfig.tiny() if args.tiny else CogVideoXVAEConfig()
+            vae = AutoencoderKLCogVideoX(vcfg, dtype=model.dtype)
+            vae_params = vae.init(rng, jnp.zeros((1, 1, 64, 64, 3)))
+            vae_params = porting.port_state_dict(porting.load_safetensors(v_path),
+                                                 vae_params, strict=False)
+            print(f"loaded vae from {v_path} (validation decode enabled)")
+
     if args.full_finetune:
         trainable = lambda path: True
     else:
@@ -125,10 +163,62 @@ def main():
     step = make_cogvideox_train_step(model, optimizer, mode=args.mode)
     state = init_train_state(params, optimizer)
 
+    # ---- in-training validation: denoise from the first cached sample's conditioning
+    # (reference CogVideo-main/finetune/trainer.py validation loop)
+    validation_fn = None
+    if args.validation_every:
+        import os
+
+        from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXImageToVideoPipeline,
+                                                      CogVideoXPipelineConfig,
+                                                      CogVideoXTextToVideoPipeline)
+
+        f_lat, vh, vw = lat.shape[0], lat.shape[1], lat.shape[2]
+        pcfg = CogVideoXPipelineConfig(
+            height=vh * 8, width=vw * 8, num_frames=(f_lat - 1) * 4 + 1,
+            num_inference_steps=args.num_validation_steps)
+        vpipe = ((CogVideoXImageToVideoPipeline if args.mode == "i2v"
+                  else CogVideoXTextToVideoPipeline)
+                 (config=pcfg, transformer_config=cfg, dtype=model.dtype))
+        val_sample = ds[0]
+        val_dir = os.path.join(args.output_dir, "validation")
+        os.makedirs(val_dir, exist_ok=True)
+
+        def validation_fn(state, step_no):
+            prm = {"transformer": state.ema_params if state.ema_params is not None
+                   else state.params}
+            pe = jnp.asarray(val_sample["prompt_embeds"])[None]
+            vrng = jax.random.PRNGKey(step_no)
+            if args.mode == "i2v":
+                lat_out = vpipe(prm, pe, jnp.asarray(val_sample["image_latents"])[None],
+                                rng=vrng)
+            else:
+                lat_out = vpipe(prm, pe, rng=vrng)
+            np.save(os.path.join(val_dir, f"step{step_no}_latents.npy"),
+                    np.asarray(lat_out))
+            if vae_params is not None:
+                from lkgd_tpu.data.video_io import write_video
+                from lkgd_tpu.models.vae_cogvideox import chunked_decode
+
+                frames = chunked_decode(vae, vae_params,
+                                        jnp.asarray(lat_out) / vcfg.scaling_factor,
+                                        chunk_latent_frames=2)
+                video = np.asarray(jnp.clip(frames.astype(jnp.float32) / 2.0 + 0.5,
+                                            0.0, 1.0))
+                write_video(os.path.join(val_dir, f"step{step_no}.gif"),
+                            video[0][:pcfg.num_frames], fps=8)
+            return {"num_samples": 1}
+
+    from lkgd_tpu.utils.trackers import make_tracker
+
     loader = PrefetchLoader(ds, batch_size=B)
     trainer = Trainer(step, state, TrainerConfig(
         output_dir=args.output_dir, max_steps=args.max_steps,
-        checkpoint_every=args.checkpoint_every))
+        checkpoint_every=args.checkpoint_every,
+        validation_every=args.validation_every or None),
+        validation_fn=validation_fn,
+        tracker=make_tracker(args.report_to, args.output_dir,
+                             run_name=f"cogvideox_{args.mode}"))
     trainer.restore_latest()
     final = trainer.fit(iter(loader))
     n = export_trainable_safetensors(final.params, trainable,

@@ -41,6 +41,18 @@ def main():
                    help="int8 Adam moments (training/optim8bit.py) — the reference's "
                         "bitsandbytes --use_8bit_adam memory lever "
                         "(train_svd_lora.py:1197-1207)")
+    p.add_argument("--report-to", choices=["jsonl", "tensorboard", "wandb"],
+                   default="jsonl",
+                   help="metrics tracker mirror (reference --report_to + init_trackers, "
+                        "train_svd_lora.py:1316); JSONL logging is always on")
+    p.add_argument("--validation-image", action="append", default=[],
+                   help="conditioning image rendered through the FULL pipeline with the "
+                        "current params every --validation-every steps, written as GIFs "
+                        "(reference in-training validation, train_svd_lora.py:1750-1832). "
+                        "trans mode consumes these in [start, end] pairs")
+    p.add_argument("--validation-every", type=int, default=0)
+    p.add_argument("--num-validation-steps", type=int, default=25,
+                   help="denoising steps for validation clips")
     args = p.parse_args()
 
     from lkgd_tpu.data.datasets import MiniDataset, PrefetchLoader
@@ -167,10 +179,62 @@ def main():
                      sample_n_frames=args.num_frames)
     loader = PrefetchLoader(ds, batch_size=B, sharding=meshlib.batch_sharding(mesh))
 
+    # ---- in-training validation sampling (reference train_svd_lora.py:1750-1832:
+    # render full-pipeline clips with the CURRENT trained params every N steps)
+    validation_fn = None
+    if args.validation_image and args.validation_every:
+        import os
+
+        import numpy as np
+
+        from lkgd_tpu.data.video_io import read_image
+        from lkgd_tpu.pipelines.svd import StableVideoDiffusionPipeline, SVDPipelineConfig
+        from lkgd_tpu.training.variants import make_validation_sampler
+
+        def _load(path):
+            img = read_image(path)
+            if img.shape[:2] != (args.height, args.width):
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.fromarray((img * 255).astype(np.uint8)).resize(
+                        (args.width, args.height), Image.BICUBIC), np.float32) / 255.0
+            return img
+
+        pcfg = SVDPipelineConfig(height=args.height, width=args.width,
+                                 num_frames=args.num_frames,
+                                 num_inference_steps=args.num_validation_steps,
+                                 decode_chunk_size=min(args.num_frames, 8))
+        if args.mode == "trans":
+            from lkgd_tpu.pipelines.svd_trans import StableVideoDiffusionTransPipeline
+
+            if len(args.validation_image) % 2:
+                raise SystemExit("trans validation consumes --validation-image in "
+                                 "[start, end] pairs — give an even number")
+            tpipe = StableVideoDiffusionTransPipeline(
+                config=pcfg, unet_config=unet_config, dtype=jnp.float32)
+            sampler = lambda prm, pair, rng: tpipe(prm, pair[0], pair[1], rng=rng)
+            images = [np.stack([_load(a), _load(b)])
+                      for a, b in zip(args.validation_image[::2],
+                                      args.validation_image[1::2])]
+        else:
+            vpipe = StableVideoDiffusionPipeline(
+                config=pcfg, unet_config=unet_config, dtype=jnp.float32)
+            sampler = lambda prm, img, rng: vpipe(prm, img, rng=rng)
+            images = [_load(path)[None] for path in args.validation_image]
+        validation_fn = make_validation_sampler(
+            sampler, {"vae": vae_params, "image_encoder": clip_params}, images,
+            out_dir=os.path.join(args.output_dir, "validation"))
+
+    from lkgd_tpu.utils.trackers import make_tracker
+
     trainer = Trainer(train_step, state,
                       TrainerConfig(output_dir=args.output_dir, max_steps=args.max_steps,
-                                    checkpoint_every=args.checkpoint_every),
-                      jit_step=False)
+                                    checkpoint_every=args.checkpoint_every,
+                                    validation_every=args.validation_every or None),
+                      jit_step=False, validation_fn=validation_fn,
+                      tracker=make_tracker(args.report_to, args.output_dir,
+                                           run_name=f"svd_{args.mode}"))
     trainer.restore_latest()
     final = trainer.fit(iter(loader))
 

@@ -30,7 +30,11 @@ def _use_flash(q: jnp.ndarray, k: jnp.ndarray, mask) -> bool:
         return False
     if mask is not None:
         return False
-    if jax.default_backend() not in ("tpu", "axon"):
+    # LKGD_FORCE_FLASH: trace the Mosaic kernels even when the default backend is not a
+    # TPU — the deviceless-AOT certification path (bench.py LKGD_BENCH_MESH=joint)
+    # compiles against a TPU *topology* while the local backend is CPU, and the certified
+    # graph must BE the deployment graph.
+    if not os.environ.get("LKGD_FORCE_FLASH") and jax.default_backend() not in ("tpu", "axon"):
         return False
     if q.shape[1] < _FLASH_MIN_SEQ or k.shape[1] < _FLASH_MIN_SEQ:
         return False
@@ -48,7 +52,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
             return flash_attention(q, k, v)
         except Exception:  # pragma: no cover — fall back if kernel unavailable
-            pass
+            if os.environ.get("LKGD_FORCE_FLASH"):
+                raise  # forced mode (AOT certification) must not silently degrade
     return _xla_attention(q, k, v, mask)
 
 
@@ -77,7 +82,8 @@ def attention_with_lse(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
 
             return flash_attention_with_lse(q, k, v)
         except Exception:  # pragma: no cover — fall back if kernel unavailable
-            pass
+            if os.environ.get("LKGD_FORCE_FLASH"):
+                raise  # forced mode (AOT certification) must not silently degrade
     scale = q.shape[-1] ** -0.5
     logits2 = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                          preferred_element_type=jnp.float32) * (scale * _LOG2E)

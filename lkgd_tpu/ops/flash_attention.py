@@ -637,7 +637,16 @@ _merge_heads.defvjp(_merge_heads_fwd, _merge_heads_bwd)
 
 def _auto_shard_axes(b: int, h: int):
     """(mesh, batch_axes, head_axes) for sharding a (B, S, H, D) flash call over the
-    active mesh's Auto axes at trace time; (None, (), ()) when there is no active mesh."""
+    active mesh's Auto axes at trace time; (None, (), ()) when there is no active mesh.
+
+    Axes are assigned batch-first by divisibility: operand shardings are not visible on
+    tracer avals at this point, so the choice is static. For the deployment layouts this
+    matches the data (data/context-sharded rows·T batch, replicated heads). Caveat: on a
+    megatron-TP mesh where q/k/v arrive *head*-sharded over 'model', a batch divisible by
+    the model-axis size absorbs that axis here and the in_specs force a reshard around
+    the kernel (numerics unaffected). TP layouts therefore rely on batch not being
+    divisible by the model axis (true for the served TP configs: batch 2 rows, model=4);
+    if that changes, pass explicit specs by calling _spmd_wrap directly."""
     mesh = jax.sharding.get_abstract_mesh()
     if mesh is None or not mesh.axis_names:
         return None, (), ()

@@ -105,16 +105,20 @@ class Trainer:
     def __init__(self, train_step: Callable, state: TrainState, config: TrainerConfig,
                  rng: Optional[jax.Array] = None,
                  validation_fn: Optional[Callable[[TrainState, int], Dict[str, Any]]] = None,
-                 jit_step: bool = True):
+                 jit_step: bool = True, tracker=None):
         """``jit_step=False``: the step is already jitted (or composes separately-jitted
         stages). Composed steps that close over frozen encoder params MUST use this —
         re-jitting the composition inlines those params as captured constants (GBs of
-        jaxpr constants; see the params-as-args rule in cli/train_svd_lora.preprocess)."""
+        jaxpr constants; see the params-as-args rule in cli/train_svd_lora.preprocess).
+
+        ``tracker``: optional utils.trackers adapter (tensorboard/wandb — the reference's
+        ``--report_to`` surface, train_svd_lora.py:1316); JSONL logging stays on always."""
         self.train_step = jax.jit(train_step, donate_argnums=(0,)) if jit_step else train_step
         self.state = state
         self.config = config
         self.rng = rng if rng is not None else jax.random.PRNGKey(config.seed)
         self.validation_fn = validation_fn
+        self.tracker = tracker
         os.makedirs(config.output_dir, exist_ok=True)
         self._metrics_path = os.path.join(config.output_dir, "metrics.jsonl")
         self._ckpt_mgr = None
@@ -155,6 +159,8 @@ class Trainer:
     def _log(self, record: Dict[str, Any]) -> None:
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self.tracker is not None:
+            self.tracker.log(record, step=int(record.get("step", 0)))
 
     # ---------------------------------------------------------------- loop
     def fit(self, data: Iterable) -> TrainState:
@@ -185,6 +191,8 @@ class Trainer:
                 self._log({"step": step, **{f"val_{k}": v for k, v in metrics.items()}})
         if int(self.state.step) > start_step:
             self.save_checkpoint(int(self.state.step))
+        if self.tracker is not None:
+            self.tracker.close()
         return self.state
 
 

@@ -46,3 +46,18 @@ def test_full_finetune_sft(tmp_path):
     # SFT exports the whole transformer, not a handful of adapters
     n = int(stdout.strip().splitlines()[-1].split()[1])
     assert n > 50, n
+
+
+def test_validation_and_report_to(tmp_path):
+    """--validation-every renders latents with the current params mid-train (reference
+    trainer validation loop) and --report-to tensorboard mirrors the JSONL metrics."""
+    import glob
+
+    _run(str(tmp_path), "--validation-every", "2", "--num-validation-steps", "2",
+         "--report-to", "tensorboard")
+    out = os.path.join(str(tmp_path), "out")
+    lat = glob.glob(os.path.join(out, "validation", "step*_latents.npy"))
+    assert lat, "validation latents not written"
+    arr = np.load(lat[0])
+    assert arr.ndim == 5 and np.isfinite(arr).all(), arr.shape
+    assert glob.glob(os.path.join(out, "tb", "*", "events.*")), "no tb events"

@@ -5,7 +5,7 @@ that reaches the flash kernel under a mesh (the full-size joint deployment — t
 trans/smooth configs OOM one chip and run ONLY on the mesh) used to die with "Mosaic
 kernels cannot be automatically partitioned". flash_attention/_with_lse now shard_map
 themselves over the batch dim when tracing under an active ``jax.set_mesh``
-(ops/flash_attention._auto_batch_axes). These tests run the wrapped calls on the 8-device
+(ops/flash_attention._auto_shard_axes). These tests run the wrapped calls on the 8-device
 CPU mesh in interpret mode and check numerics + gradients against the XLA formulation,
 plus the trace-time axis-selection logic itself.
 
