@@ -14,7 +14,8 @@ Env overrides:
   LKGD_BENCH_SMALL=1     tiny smoke config
   LKGD_BENCH_REPS=N      timing repetitions (default 3)
   LKGD_BENCH_DEADLINE=S  stop timing reps early past S seconds elapsed (default 1800)
-  LKGD_BENCH_PIPELINE=   base (default) | trans | controlnet | smooth | cogvideox
+  LKGD_BENCH_PIPELINE=   base (default) | trans | controlnet | smooth | cogvideox |
+                         cogvideox_clip | train | vae
       base       the driver metric: plain img2vid (reference run_inference_svd.py)
       trans      LKGD flagship: joint attention (spatial+temporal, attn1n branch per
                  block) + 2 stream-masked r=64 LoRAs, [start, end] frame pair
@@ -635,6 +636,159 @@ def bench_mesh_joint_dryrun():
         }))
 
 
+def bench_mesh_cogvideox_dryrun():
+    """Certify the FULL-SIZE CogVideoX-5B I2V DiT step (49f x 480x720 latents, CFG-
+    doubled, S=17776) on a v5e-8 mesh — the xDiT serving parity story at scale
+    (reference `CogVideo-main/tools/parallel_inference/parallel_inference_xdit.py:14-51`
+    runs ulysses_degree x ring_degree over 8 GPUs; the 2B/5B checkpoints are ~11 GB bf16
+    so single-chip v5e serving is memory-bound). AOT-compiles against the real
+    ``v5e:2x4`` topology per layout, audits collectives, asserts Mosaic flash in-graph,
+    and reads per-chip HBM from the executable memory analysis:
+
+      * tp4_data2:      megatron TP over 'model' (parallel/tp.cogvideox_tp_specs),
+                        CFG batch over 'data'
+      * ulysses_sp4:    sequence-parallel video tokens over 'context'
+                        (models/cogvideox joint_sp_attention), CFG over 'data'
+      * fsdp4_data2:    weight-sharded (ZeRO-3 style) serving over 'model'
+    """
+    import dataclasses
+
+    import numpy as np
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    os.environ.setdefault("LKGD_FORCE_FLASH", "1")
+
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig, CogVideoXTransformer3D
+    from lkgd_tpu.parallel import tp as tplib
+    from lkgd_tpu.parallel.collective_audit import audit_compiled, summarize
+
+    topo_devs = topologies.get_topology_desc("v5e:2x4", "tpu").devices
+    HBM = 16 * 1024**3
+    b, t, h, w = 2, 13, 60, 90  # CFG-doubled; 49f x 480x720 latents
+
+    configs = [
+        ("tp4_data2", {"data": 2, "model": 4}, "tp", "none"),
+        ("ulysses_sp4_data2", {"data": 2, "context": 4}, "replicated", "ulysses"),
+        ("fsdp4_data2", {"data": 2, "model": 4}, "fsdp", "none"),
+    ]
+    for tag, layout, weight_mode, seq_par in configs:
+        mesh = Mesh(np.array(topo_devs).reshape(tuple(layout.values())),
+                    tuple(layout.keys()))
+        cfg = dataclasses.replace(CogVideoXConfig.cogvideox_5b_i2v(),
+                                  sequence_parallel=seq_par)
+        model = CogVideoXTransformer3D(cfg, dtype=jnp.bfloat16)
+        sample_axes = ["data", None, None, None, None]
+        if "context" in layout:
+            sample_axes[1] = "context"
+        sample = jax.ShapeDtypeStruct((b, t, h, w, cfg.in_channels), jnp.bfloat16,
+                                      sharding=NamedSharding(mesh, P(*sample_axes)))
+        text = jax.ShapeDtypeStruct((b, cfg.max_text_seq_length, 4096), jnp.bfloat16,
+                                    sharding=NamedSharding(mesh, P("data")))
+        ts = jax.ShapeDtypeStruct((b,), jnp.int32,
+                                  sharding=NamedSharding(mesh, P()))
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((b, t, h, w, cfg.in_channels), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, cfg.max_text_seq_length, 4096), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b,), jnp.int32))
+        if weight_mode == "tp":
+            specs = tplib.cogvideox_tp_specs(shapes, axis="model")
+        elif weight_mode == "fsdp":
+            specs = tplib.fsdp_specs(shapes, axis="model", axis_size=layout["model"])
+        else:
+            specs = jax.tree.map(lambda _: P(), shapes)
+        pshapes = jax.tree.map(
+            lambda s, sp: jax.ShapeDtypeStruct(
+                s.shape, s.dtype, sharding=NamedSharding(mesh, sp)), shapes, specs)
+        t0 = time.time()
+        with jax.set_mesh(mesh):
+            compiled = jax.jit(
+                model.apply,
+                out_shardings=NamedSharding(mesh, P(*sample_axes)),
+            ).lower(pshapes, sample, text, ts).compile()
+        found = audit_compiled(compiled)
+        mosaic_calls = compiled.as_text().count("tpu_custom_call")
+        if mosaic_calls == 0:
+            raise SystemExit(f"cogvideox certification {tag}: 0 Mosaic calls — "
+                             "flash fell back to XLA; not the deployment graph")
+        ma = compiled.memory_analysis()
+        args_b = int(getattr(ma, "argument_size_in_bytes", 0))
+        temp_b = int(getattr(ma, "temp_size_in_bytes", 0))
+        out_b = int(getattr(ma, "output_size_in_bytes", 0))
+        total = args_b + temp_b + out_b
+        ici = sum(bb for entries in found.values() for bb, _ in entries)
+        print(f"# {tag} mesh={layout}: compile {time.time()-t0:.1f}s", file=sys.stderr)
+        print(summarize(found), file=sys.stderr)
+        print(json.dumps({
+            "metric": f"cogvideox-5b mesh certification: {tag}",
+            "mesh": layout,
+            "per_chip_gb": round(total / 1024**3, 2),
+            "per_chip_bytes": {"arguments": args_b, "temp": temp_b, "output": out_b},
+            "fits_16gb": bool(total < HBM),
+            "ici_bytes_per_step": ici,
+            "ici_ms_per_step": round(ici / 8 / 90e9 * 1e3, 2),
+            "collectives": {k: len(v) for k, v in found.items()},
+            "mosaic_calls": mosaic_calls,
+        }), flush=True)
+
+
+def bench_cogvideox_clip(reps):
+    """The FULL CogVideoX-5B I2V clip: 50-step DDIM/dynamic-CFG denoise (one jitted
+    scan) + conv-cached chunked VAE decode — sec/clip, the xDiT-comparable number
+    (reference cli_demo.py runs 50 steps at 49f x 480x720)."""
+    import dataclasses
+
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig
+    from lkgd_tpu.models.vae_cogvideox import (AutoencoderKLCogVideoX,
+                                               CogVideoXVAEConfig, chunked_decode)
+    from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXImageToVideoPipeline,
+                                                  CogVideoXPipelineConfig)
+
+    small = bool(os.environ.get("LKGD_BENCH_SMALL"))
+    steps = int(os.environ.get("LKGD_BENCH_COG_STEPS", "50"))
+    if small:
+        tcfg = CogVideoXConfig.tiny()
+        pcfg = CogVideoXPipelineConfig(height=64, width=64, num_frames=9,
+                                       num_inference_steps=2)
+        vcfg = CogVideoXVAEConfig.tiny()
+    else:
+        tcfg = CogVideoXConfig.cogvideox_5b_i2v()
+        pcfg = CogVideoXPipelineConfig(num_inference_steps=steps)
+        vcfg = CogVideoXVAEConfig()
+    pipe = CogVideoXImageToVideoPipeline(pcfg, tcfg, dtype=jnp.bfloat16)
+    params = _synthetic_bf16_params(pipe.init_params, jax.random.PRNGKey(0))
+    vae = AutoencoderKLCogVideoX(vcfg, dtype=jnp.bfloat16)
+    vshapes = jax.eval_shape(vae.init, jax.random.PRNGKey(0),
+                             jnp.zeros((1, 1, 64, 64, 3)))
+    vleaves, vtree = jax.tree.flatten(vshapes)
+    vparams = jax.tree.unflatten(vtree, [
+        jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(7), i), l.shape,
+                          jnp.bfloat16) * 0.02 for i, l in enumerate(vleaves)])
+    jax.block_until_ready((params, vparams))
+
+    pe = jax.random.normal(jax.random.PRNGKey(1),
+                           (1, tcfg.max_text_seq_length, tcfg.text_embed_dim),
+                           jnp.bfloat16) * 0.02
+    img_lat = jax.random.normal(jax.random.PRNGKey(2),
+                                (1, pcfg.latent_height, pcfg.latent_width,
+                                 tcfg.out_channels), jnp.bfloat16) * 0.5
+    rng = jax.random.PRNGKey(3)
+
+    def run():
+        latents = pipe._generate(params, pe, jnp.zeros_like(pe), img_lat, rng,
+                                 None, None)
+        frames = chunked_decode(vae, vparams,
+                                latents.astype(jnp.bfloat16) / vcfg.scaling_factor,
+                                chunk_latent_frames=2)
+        return frames
+    label = (f"sec/clip cogvideox-5b i2v ({pcfg.num_frames}f x {pcfg.width}x"
+             f"{pcfg.height}, {pcfg.num_inference_steps} steps + chunked decode)")
+    if small:
+        label = "sec/clip cogvideox (smoke config)"
+    return label, _time(run, reps, label)
+
+
 def _require_device(timeout_s: float = 180.0) -> None:
     """Fail fast (rc=1) if the backend hangs or is CPU: a dead device tunnel would
     otherwise hang jax.devices() indefinitely, and a silent CPU fallback would report a
@@ -663,6 +817,9 @@ def main():
     if os.environ.get("LKGD_BENCH_MESH") == "joint":
         bench_mesh_joint_dryrun()
         return
+    if os.environ.get("LKGD_BENCH_MESH") == "cogvideox":
+        bench_mesh_cogvideox_dryrun()
+        return
     _require_device()
     small = bool(os.environ.get("LKGD_BENCH_SMALL"))
     reps = int(os.environ.get("LKGD_BENCH_REPS", "3"))
@@ -678,6 +835,8 @@ def main():
         label, value = bench_smooth(reps)
     elif which == "cogvideox":
         label, value = bench_cogvideox(reps)
+    elif which == "cogvideox_clip":
+        label, value = bench_cogvideox_clip(reps)
     elif which == "train":
         label, value = bench_train(reps)
     elif which == "vae":

@@ -35,6 +35,11 @@ def main():
                    help="checkpoint for model-based annotators (depth: HF "
                         "depth-anything-small safetensors/npz state dict)")
     p.add_argument("--model-size", default="small", choices=("small", "base"))
+    p.add_argument("--grid-size", type=int, default=16,
+                   help="tracks: query grid side (reference get_points_on_a_grid, "
+                        "utils/util.py:441-483)")
+    p.add_argument("--fb-thresh", type=float, default=2.0,
+                   help="tracks: forward-backward cycle visibility threshold (px)")
     args = p.parse_args()
 
     from lkgd_tpu.data.video_io import load_input, write_video
@@ -172,6 +177,41 @@ def main():
         cfg = OpenPoseConfig()
         params = port_openpose_body(load_state_dict(args.weights), cfg)
         cp.register_processor("openpose", make_openpose_processor(params, cfg))
+
+    if args.annotation == "tracks":
+        # point-track pseudo-labels for TrackDataset (reference: CoTracker at
+        # annotation time, utils/util.py:441-504; here: chained RAFT flow —
+        # utils/point_tracker.py). Writes <name>.npz with tracks/visibility.
+        import jax
+        import jax.numpy as jnp
+
+        from lkgd_tpu.models.raft import RAFT, RAFTConfig
+        from lkgd_tpu.utils.point_tracker import track_video
+
+        model = RAFT(RAFTConfig(), dtype=jnp.float32)
+        shapes = jax.eval_shape(lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))))
+        if args.weights:
+            from lkgd_tpu.utils.porting import load_state_dict, port_raft
+
+            params = port_raft(load_state_dict(args.weights), shapes)
+        else:
+            raise SystemExit("--annotation tracks needs --weights (torchvision "
+                             "raft_large state dict; external, egress-gated)")
+        files = sorted(sum([glob.glob(os.path.join(args.input, e))
+                            for e in ("*.mp4", "*.gif")], []))
+        os.makedirs(args.output, exist_ok=True)
+        for f in files:
+            frames = load_input(f, max_frames=args.max_frames)
+            tracks, vis = track_video(model, params, frames,
+                                      grid_size=args.grid_size,
+                                      fb_thresh=args.fb_thresh)
+            name = os.path.splitext(os.path.basename(f))[0]
+            out = os.path.join(args.output, f"{name}.npz")
+            np.savez(out, tracks=tracks, visibility=vis)
+            print(f"{f} -> {out}: tracks {tracks.shape}, "
+                  f"{float(vis.mean()) * 100:.0f}% visible")
+        return
 
     files = sorted(sum([glob.glob(os.path.join(args.input, e))
                         for e in ("*.mp4", "*.gif", "*.png", "*.jpg")], []))

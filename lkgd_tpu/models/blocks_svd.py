@@ -489,6 +489,7 @@ class TransformerSpatioTemporalModel(nn.Module):
 class CrossAttnDownBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 2
+    eps: float = 1e-5
     transformer_layers: int = 1
     heads: int = 5
     cross_attention_dim: int = 1024
@@ -502,7 +503,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     def __call__(self, x, temb, encoder_hidden_states, image_only_indicator, joint_scale=1.0):
         outputs = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+            x = SpatioTemporalResBlock(self.out_channels, eps=self.eps, dtype=self.dtype,
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
             x = TransformerSpatioTemporalModel(
                 self.transformer_layers, self.heads, self.out_channels // self.heads,
@@ -520,6 +521,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
 class DownBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 2
+    eps: float = 1e-5
     add_downsample: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -527,7 +529,7 @@ class DownBlockSpatioTemporal(nn.Module):
     def __call__(self, x, temb, image_only_indicator):
         outputs = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+            x = SpatioTemporalResBlock(self.out_channels, eps=self.eps, dtype=self.dtype,
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
             outputs.append(x)
         if self.add_downsample:
@@ -539,6 +541,7 @@ class DownBlockSpatioTemporal(nn.Module):
 class UNetMidBlockSpatioTemporal(nn.Module):
     channels: int
     transformer_layers: int = 1
+    eps: float = 1e-5
     heads: int = 20
     cross_attention_dim: int = 1024
     joint: Optional[JointAttentionConfig] = None
@@ -548,14 +551,14 @@ class UNetMidBlockSpatioTemporal(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, encoder_hidden_states, image_only_indicator, joint_scale=1.0):
-        x = SpatioTemporalResBlock(self.channels, dtype=self.dtype, name="resnets_0")(
+        x = SpatioTemporalResBlock(self.channels, eps=self.eps, dtype=self.dtype, name="resnets_0")(
             x, temb, image_only_indicator)
         x = TransformerSpatioTemporalModel(
             self.transformer_layers, self.heads, self.channels // self.heads,
             self.cross_attention_dim, joint=self.joint, block_path=f"{self.block_path}.attentions.0",
             lora=self.lora, dtype=self.dtype, name="attentions_0",
         )(x, encoder_hidden_states, image_only_indicator, joint_scale=joint_scale, temb=temb)
-        x = SpatioTemporalResBlock(self.channels, dtype=self.dtype, name="resnets_1")(
+        x = SpatioTemporalResBlock(self.channels, eps=self.eps, dtype=self.dtype, name="resnets_1")(
             x, temb, image_only_indicator)
         return x
 
@@ -563,6 +566,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
 class UpBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 3
+    eps: float = 1e-5
     add_upsample: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -572,7 +576,7 @@ class UpBlockSpatioTemporal(nn.Module):
             res = res_samples[-1]
             res_samples = res_samples[:-1]
             x = jnp.concatenate([x, res], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+            x = SpatioTemporalResBlock(self.out_channels, eps=self.eps, dtype=self.dtype,
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -582,6 +586,7 @@ class UpBlockSpatioTemporal(nn.Module):
 class CrossAttnUpBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 3
+    eps: float = 1e-5
     transformer_layers: int = 1
     heads: int = 20
     cross_attention_dim: int = 1024
@@ -598,7 +603,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
             res = res_samples[-1]
             res_samples = res_samples[:-1]
             x = jnp.concatenate([x, res], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, dtype=self.dtype,
+            x = SpatioTemporalResBlock(self.out_channels, eps=self.eps, dtype=self.dtype,
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
             x = TransformerSpatioTemporalModel(
                 self.transformer_layers, self.heads, self.out_channels // self.heads,

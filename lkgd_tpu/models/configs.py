@@ -123,6 +123,15 @@ class SVDUNetConfig:
     projection_class_embeddings_input_dim: int = 768
     num_frames: int = 25
     sample_size: int = 96
+    # GroupNorm eps inside spatio-temporal resblocks. The reference passes
+    # resnet_eps=1e-5 (unet_spatio_temporal_condition.py:179,280) but diffusers'
+    # get_down_block/get_up_block do NOT forward it to the SpatioTemporal block types
+    # (hard-coded per class body, a mix of 1e-5/1e-6); diffusers source is unreadable in
+    # this environment, and the measured output delta between the two values is below
+    # bf16 resolution (experiments/eps_sensitivity.py) — 1e-5 (the original sgm/torch
+    # GroupNorm default the SVD checkpoints were trained with) is the default, and this
+    # knob lets bit-parity seekers flip it.
+    resnet_eps: float = 1e-5
 
     # ---- LKGD extensions (all statically configured)
     knowledge_fusion: bool = False  # quaternion latent-knowledge fusion on the context

@@ -135,6 +135,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             if block_type == "CrossAttnDownBlockSpatioTemporal":
                 sample, outs = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
+                    eps=cfg.resnet_eps,
                     transformer_layers=cfg.transformer_layers_per_block,
                     heads=cfg.num_attention_heads[i], cross_attention_dim=cfg.cross_attention_dim,
                     add_downsample=i < len(cfg.block_out_channels) - 1, joint=cfg.joint,
@@ -144,6 +145,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             elif block_type == "DownBlockSpatioTemporal":
                 sample, outs = maybe_remat(DownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
+                    eps=cfg.resnet_eps,
                     add_downsample=i < len(cfg.block_out_channels) - 1, dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )(sample, emb, image_only_indicator)
@@ -159,7 +161,8 @@ class UNetSpatioTemporalCondition(nn.Module):
 
         # ---- 6. mid (reference :650-658)
         sample = maybe_remat(UNetMidBlockSpatioTemporal)(
-            cfg.block_out_channels[-1], transformer_layers=cfg.transformer_layers_per_block,
+            cfg.block_out_channels[-1], eps=cfg.resnet_eps,
+            transformer_layers=cfg.transformer_layers_per_block,
             heads=cfg.num_attention_heads[-1], cross_attention_dim=cfg.cross_attention_dim,
             joint=cfg.joint, lora=cfg.lora, dtype=self.dtype, name="mid_block",
         )(sample, emb, encoder_hidden_states, image_only_indicator, joint_scale)
@@ -175,7 +178,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             add_upsample = i < len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnUpBlockSpatioTemporal":
                 sample = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
-                    reversed_channels[i], num_layers=n_layers,
+                    reversed_channels[i], num_layers=n_layers, eps=cfg.resnet_eps,
                     transformer_layers=cfg.transformer_layers_per_block, heads=reversed_heads[i],
                     cross_attention_dim=cfg.cross_attention_dim, add_upsample=add_upsample,
                     joint=cfg.joint, block_path=f"up_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
@@ -184,6 +187,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             elif block_type == "UpBlockSpatioTemporal":
                 sample = maybe_remat(UpBlockSpatioTemporal)(
                     reversed_channels[i], num_layers=n_layers, add_upsample=add_upsample,
+                    eps=cfg.resnet_eps,
                     dtype=self.dtype, name=f"up_blocks_{i}",
                 )(sample, skips, emb, image_only_indicator)
             else:

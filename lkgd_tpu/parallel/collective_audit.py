@@ -71,6 +71,69 @@ def audit_hlo(hlo_text: str) -> Dict[str, List[Tuple[int, str]]]:
     return dict(found)
 
 
+# ------------------------------------------------------------------ DCN classification
+_GROUPS_RE = re.compile(r"replica_groups=\{(\{[\d,{} ]*\})\}")
+_IOTA_RE = re.compile(r"replica_groups=\[([\d,]+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?")
+_PAIRS_RE = re.compile(r"source_target_pairs=\{((?:\{\d+,\d+\},?)*)\}")
+
+
+def _parse_groups(line: str):
+    """Device-id groups of a collective instruction, or None if not present.
+
+    Handles explicit ``replica_groups={{0,4},{1,5}}``, the iota form
+    ``replica_groups=[2,4]<=[8]`` (ids reshaped row-major; optional transpose
+    ``<=[d0,d1]T(1,0)``), and collective-permute ``source_target_pairs`` (each pair is
+    a 2-group)."""
+    import numpy as np
+
+    m = _GROUPS_RE.search(line)
+    if m:
+        return [[int(v) for v in g.split(",") if v.strip()]
+                for g in re.findall(r"\{([\d, ]*)\}", m.group(1))]
+    m = _IOTA_RE.search(line)
+    if m:
+        shape = [int(v) for v in m.group(1).split(",")]
+        dims = [int(v) for v in m.group(2).split(",")]
+        ids = np.arange(int(np.prod(dims))).reshape(dims)
+        if m.group(3):
+            ids = ids.transpose([int(v) for v in m.group(3).split(",")])
+        return ids.reshape(shape).tolist()
+    m = _PAIRS_RE.search(line)
+    if m:
+        return [[int(a), int(b)] for a, b in re.findall(r"\{(\d+),(\d+)\}", m.group(1))]
+    return None
+
+
+def crosses_slices(line: str, slice_of: Dict[int, int]) -> bool:
+    """True if any replica group / permute pair of this collective spans devices in
+    different slices — i.e. the transfer rides DCN, not ICI (mesh.slice_of_device_map
+    provides ``slice_of``). Unparseable/absent groups are conservatively DCN."""
+    groups = _parse_groups(line)
+    if groups is None:
+        return True
+    for g in groups:
+        if len({slice_of.get(d, -1) for d in g}) > 1:
+            return True
+    return False
+
+
+def split_dcn_ici(hlo_text: str, slice_of: Dict[int, int]):
+    """Optimized HLO -> {"dcn": {op: [(bytes, line)...]}, "ici": {...}} — the per-
+    substrate traffic split for hybrid (multi-slice) meshes. DCN bandwidth is ~100x
+    scarcer than ICI, so hybrid layouts are certified on the DCN bytes specifically."""
+    dcn: Dict[str, List[Tuple[int, str]]] = collections.defaultdict(list)
+    ici: Dict[str, List[Tuple[int, str]]] = collections.defaultdict(list)
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        body = s.split(" = ", 1)[-1]
+        for op in COLLECTIVE_OPS:
+            if re.match(rf"(\(.*\)|\S+)\s*{op}(-start)?\(", body) or body.startswith(op):
+                target = dcn if crosses_slices(s, slice_of) else ici
+                target[op].append((_result_bytes(s), s[:160]))
+                break
+    return {"dcn": dict(dcn), "ici": dict(ici)}
+
+
 def audit_compiled(compiled) -> Dict[str, List[Tuple[int, str]]]:
     return audit_hlo(compiled.as_text())
 

@@ -17,7 +17,7 @@ Video batch convention: ``(B, T, H, W, C)`` -> P("data", "context") on (B, T).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -25,18 +25,75 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 CONTEXT_AXIS = "context"
+SLICE_AXIS = "slice"  # multi-slice (DCN) axis — collectives over it ride the
+# data-center network, not ICI (SURVEY §2.9: "ICI within a slice, DCN across slices")
 
 
 def make_mesh(axes: Optional[Dict[str, int]] = None,
-              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a mesh; default: all devices on the data axis."""
+              devices: Optional[Sequence[jax.Device]] = None,
+              dcn_axes: Tuple[str, ...] = (SLICE_AXIS,)) -> Mesh:
+    """Build a mesh; default: all devices on the data axis.
+
+    Multi-slice: an axis named in ``dcn_axes`` (default: "slice") spans TPU slices —
+    the DCN substrate of the reference's multi-node DeepSpeed configs
+    (`CogVideo-main/finetune/accelerate_config.yaml:3-4` num_machines). Device layout
+    rule: every ICI axis must be filled by devices of ONE slice so its collectives ride
+    ICI. With real multi-slice devices (``slice_index`` attribute) the hybrid layout is
+    derived from the hardware; with virtual/CPU devices, slices are contiguous
+    ``len(devices)/S`` blocks in enumeration order (the AOT/topology convention)."""
     devices = list(devices if devices is not None else jax.devices())
     axes = dict(axes) if axes else {DATA_AXIS: len(devices)}
     n = int(np.prod(list(axes.values())))
     if n != len(devices):
         raise ValueError(f"mesh axes {axes} need {n} devices, have {len(devices)}")
-    dev_array = np.asarray(devices).reshape(tuple(axes.values()))
-    return Mesh(dev_array, tuple(axes.keys()))
+    names = tuple(axes.keys())
+    dcn_present = [a for a in names if a in dcn_axes and axes[a] > 1]
+    if not dcn_present:
+        dev_array = np.asarray(devices).reshape(tuple(axes.values()))
+        return Mesh(dev_array, names)
+
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    dcn_shape = tuple(axes[a] if a in dcn_present else 1 for a in names)
+    ici_shape = tuple(1 if a in dcn_present else axes[a] for a in names)
+    if all(s is not None for s in slice_ids) and len(set(slice_ids)) > 1:
+        # real multi-slice hardware: let jax derive the hybrid ICI x DCN layout
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices)
+    else:
+        # virtual devices / deviceless AOT: contiguous blocks model the slices.
+        # Reshape slice-major then transpose into the caller's axis order, so axis k
+        # of the result varies devices within one slice iff k is an ICI axis.
+        per = [axes[a] for a in dcn_present] + \
+              [axes[a] for a in names if a not in dcn_present]
+        arr = np.asarray(devices).reshape(per)
+        order = [a for a in dcn_present] + [a for a in names if a not in dcn_present]
+        arr = np.transpose(arr, [order.index(a) for a in names])
+        dev_array = arr.reshape(tuple(axes.values()))
+    return Mesh(dev_array, names)
+
+
+def slice_of_device_map(mesh: Mesh, dcn_axes: Tuple[str, ...] = (SLICE_AXIS,)
+                        ) -> Dict[int, int]:
+    """{device_id: slice ordinal} for a mesh built by :func:`make_mesh` — feeds the
+    DCN/ICI traffic split in :mod:`.collective_audit`. The slice ordinal is the device's
+    joint index along the mesh's DCN axes (its real ``slice_index`` when available)."""
+    names = mesh.axis_names
+    arr = mesh.devices
+    out: Dict[int, int] = {}
+    it = np.nditer(np.empty(arr.shape, dtype=np.int8), flags=["multi_index"])
+    for _ in it:
+        idx = it.multi_index
+        d = arr[idx]
+        s = getattr(d, "slice_index", None)
+        if s is None:
+            s = 0
+            for ax, name in enumerate(names):
+                if name in dcn_axes:
+                    s = s * arr.shape[ax] + idx[ax]
+        out[d.id if hasattr(d, "id") else int(d)] = int(s)
+    return out
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
