@@ -125,13 +125,21 @@ class SVDUNetConfig:
     sample_size: int = 96
     # GroupNorm eps inside spatio-temporal resblocks. The reference passes
     # resnet_eps=1e-5 (unet_spatio_temporal_condition.py:179,280) but diffusers'
-    # get_down_block/get_up_block do NOT forward it to the SpatioTemporal block types
-    # (hard-coded per class body, a mix of 1e-5/1e-6); diffusers source is unreadable in
-    # this environment, and the measured output delta between the two values is below
-    # bf16 resolution (experiments/eps_sensitivity.py) — 1e-5 (the original sgm/torch
-    # GroupNorm default the SVD checkpoints were trained with) is the default, and this
-    # knob lets bit-parity seekers flip it.
+    # get_down_block/get_up_block do NOT forward it to the SpatioTemporal block types —
+    # each class body hard-codes its own value (a mix of 1e-5/1e-6). diffusers source is
+    # unreachable in this environment (not installed, zero egress, no vendored copy —
+    # verified r5), so the default is the uniform 1e-5 the original sgm/torch GroupNorm
+    # training used, and the knobs below can express any diffusers per-block-type mix
+    # for bit-parity work. Measured sensitivity (experiments/eps_sensitivity.py,
+    # random-init worst case — zero-variance activations amplify eps): max |delta| =
+    # 5.1% of output std in fp32; with trained weights (healthy activation variance)
+    # the analytic scale is ~0.5*d(eps)/var ~ 4.5e-6 relative. Settle definitively via
+    # cli/verify_parity record/check when real checkpoints are reachable.
     resnet_eps: float = 1e-5
+    # override for CrossAttn{Down,Up}BlockSpatioTemporal resblocks (None -> resnet_eps)
+    resnet_eps_cross: Optional[float] = None
+    # override for the plain UpBlockSpatioTemporal resblocks (None -> resnet_eps)
+    resnet_eps_up: Optional[float] = None
 
     # ---- LKGD extensions (all statically configured)
     knowledge_fusion: bool = False  # quaternion latent-knowledge fusion on the context

@@ -135,7 +135,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             if block_type == "CrossAttnDownBlockSpatioTemporal":
                 sample, outs = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
-                    eps=cfg.resnet_eps,
+                    eps=cfg.resnet_eps_cross or cfg.resnet_eps,
                     transformer_layers=cfg.transformer_layers_per_block,
                     heads=cfg.num_attention_heads[i], cross_attention_dim=cfg.cross_attention_dim,
                     add_downsample=i < len(cfg.block_out_channels) - 1, joint=cfg.joint,
@@ -178,7 +178,8 @@ class UNetSpatioTemporalCondition(nn.Module):
             add_upsample = i < len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnUpBlockSpatioTemporal":
                 sample = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
-                    reversed_channels[i], num_layers=n_layers, eps=cfg.resnet_eps,
+                    reversed_channels[i], num_layers=n_layers,
+                    eps=cfg.resnet_eps_cross or cfg.resnet_eps,
                     transformer_layers=cfg.transformer_layers_per_block, heads=reversed_heads[i],
                     cross_attention_dim=cfg.cross_attention_dim, add_upsample=add_upsample,
                     joint=cfg.joint, block_path=f"up_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
@@ -187,7 +188,7 @@ class UNetSpatioTemporalCondition(nn.Module):
             elif block_type == "UpBlockSpatioTemporal":
                 sample = maybe_remat(UpBlockSpatioTemporal)(
                     reversed_channels[i], num_layers=n_layers, add_upsample=add_upsample,
-                    eps=cfg.resnet_eps,
+                    eps=cfg.resnet_eps_up or cfg.resnet_eps,
                     dtype=self.dtype, name=f"up_blocks_{i}",
                 )(sample, skips, emb, image_only_indicator)
             else:

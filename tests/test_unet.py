@@ -192,3 +192,45 @@ class TestGroupNorm:
             gn.bias.fill_(0.3)
             want = gn(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_resnet_eps_knobs():
+    """resnet_eps / resnet_eps_cross / resnet_eps_up change the graph only where they
+    should: same params tree, outputs shift when any knob flips (the diffusers
+    per-block-type eps mix surface — see SVDUNetConfig comments)."""
+    import dataclasses
+
+    import numpy as np
+
+    from lkgd_tpu.models.configs import SVDUNetConfig
+    from lkgd_tpu.models.unet_svd import UNetSpatioTemporalCondition
+
+    kw = dict(block_out_channels=(32, 64),
+              down_block_types=("CrossAttnDownBlockSpatioTemporal",
+                                "DownBlockSpatioTemporal"),
+              up_block_types=("UpBlockSpatioTemporal",
+                              "CrossAttnUpBlockSpatioTemporal"),
+              layers_per_block=1, num_attention_heads=(2, 4),
+              cross_attention_dim=32, num_frames=2)
+    cfg = SVDUNetConfig(**kw)
+    unet = UNetSpatioTemporalCondition(cfg)
+    B, T, H, W = 1, 2, 16, 16
+    sample = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, W, 8))
+    ts = jnp.zeros((B,))
+    ehs = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 32)) * 0.1
+    ids = jnp.ones((B, 3))
+    params = unet.init(jax.random.PRNGKey(0), sample, ts, ehs, ids)
+    base = np.asarray(unet.apply(params, sample, ts, ehs, ids))
+
+    for repl in (dict(resnet_eps=1e-6),
+                 dict(resnet_eps_cross=1e-6),
+                 dict(resnet_eps_up=1e-6)):
+        alt = UNetSpatioTemporalCondition(dataclasses.replace(cfg, **repl))
+        out = np.asarray(alt.apply(params, sample, ts, ehs, ids))
+        assert not np.array_equal(out, base), repl
+    # cross+up at 1e-6 with resnet_eps=1e-6 == uniform 1e-6
+    all6 = UNetSpatioTemporalCondition(dataclasses.replace(
+        cfg, resnet_eps=1e-6, resnet_eps_cross=1e-6, resnet_eps_up=1e-6))
+    uni6 = UNetSpatioTemporalCondition(dataclasses.replace(cfg, resnet_eps=1e-6))
+    np.testing.assert_array_equal(np.asarray(all6.apply(params, sample, ts, ehs, ids)),
+                                  np.asarray(uni6.apply(params, sample, ts, ehs, ids)))

@@ -18,10 +18,16 @@ asserts every tensor was consumed exactly once, so the oracle doubles as a name-
 audit of the exporter.
 
 Known divergences from diffusers 0.27.2 that are deliberate (documented, not bugs):
-  * GroupNorm eps inside spatio-temporal resblocks: we use 1e-5 (the value the reference
-    passes as `resnet_eps` at unet:179,280; diffusers' SpatioTemporalResBlock ignores that
-    kwarg and defaults to 1e-6 — unverifiable in this environment since diffusers is not
-    installed; the difference is ~4e-6 relative on unit-variance activations).
+  * GroupNorm eps inside spatio-temporal resblocks: we use 1e-5 uniformly (the value the
+    reference passes as `resnet_eps` at unet:179,280, and the torch-GroupNorm default the
+    original sgm training used; diffusers' get_down/up_block do not forward resnet_eps —
+    each SpatioTemporal block class hard-codes its own 1e-5/1e-6 mix). SETTLED r5 to the
+    extent this environment allows: diffusers source is unreachable (not installed, zero
+    egress, no vendored copy), the sensitivity is MEASURED (experiments/eps_sensitivity.py:
+    random-init worst case max |delta| = 5.1% of output std fp32; trained-weight analytic
+    scale ~4.5e-6 relative), and `SVDUNetConfig.resnet_eps{,_cross,_up}` can express any
+    per-block-type mix for bit-parity once real checkpoints flow through
+    cli/verify_parity record/check. The oracle mirrors the Flax default (1e-5).
   * `time_context` row order for temporal cross-attention is batch-major (sample-aligned),
     matching our Flax per-sample K/V.
 """
