@@ -91,7 +91,10 @@ def _pipeline_config(**kw):
                 decode_chunk_size=14,
                 # CFG halves run sequentially (halved peak activation HBM) — the
                 # deployment setting for the 4-row trans batch on one 16 GB chip
-                sequential_cfg=bool(os.environ.get("LKGD_BENCH_SEQ_CFG")))
+                sequential_cfg=bool(os.environ.get("LKGD_BENCH_SEQ_CFG")),
+                # LKGD_BENCH_DEEPCACHE=N: DeepCache approximate serving mode (full
+                # UNet every N-th step; default 1 = exact). NOT the headline path.
+                deep_cache_interval=int(os.environ.get("LKGD_BENCH_DEEPCACHE", "1")))
     base.update(kw)
     return SVDPipelineConfig(**base)
 
@@ -778,9 +781,20 @@ def bench_cogvideox_clip(reps):
     def run():
         latents = pipe._generate(params, pe, jnp.zeros_like(pe), img_lat, rng,
                                  None, None)
-        frames = chunked_decode(vae, vparams,
-                                latents.astype(jnp.bfloat16) / vcfg.scaling_factor,
-                                chunk_latent_frames=2)
+        # the 5B DiT holds ~11 GB bf16; whole-frame chunked decode on the same chip
+        # OOM-crashes the worker (measured r5) — tile the spatial plane too, the
+        # reference's enable_tiling serving ladder
+        from lkgd_tpu.models.vae_cogvideox import tiled_decode
+
+        if small:
+            frames = chunked_decode(vae, vparams,
+                                    latents.astype(jnp.bfloat16) / vcfg.scaling_factor,
+                                    chunk_latent_frames=2)
+        else:
+            frames = tiled_decode(vae, vparams,
+                                  latents.astype(jnp.bfloat16) / vcfg.scaling_factor,
+                                  tile_latent_height=30, tile_latent_width=45,
+                                  chunk_latent_frames=2)
         return frames
     label = (f"sec/clip cogvideox-5b i2v ({pcfg.num_frames}f x {pcfg.width}x"
              f"{pcfg.height}, {pcfg.num_inference_steps} steps + chunked decode)")

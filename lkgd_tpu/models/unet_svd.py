@@ -57,7 +57,17 @@ class UNetSpatioTemporalCondition(nn.Module):
         image_only_indicator: Optional[jnp.ndarray] = None,
         joint_scale=1.0,
         cond2: Optional[jnp.ndarray] = None,
+        deep_cache: Optional[jnp.ndarray] = None,
+        return_deep_feature: bool = False,
     ) -> jnp.ndarray:
+        """``deep_cache`` / ``return_deep_feature``: the DeepCache serving contract
+        (Ma et al. 2023, arXiv:2312.00858 — training-free diffusion acceleration by
+        caching slow-changing deep U-Net features across adjacent timesteps).
+        ``return_deep_feature=True`` additionally returns the input of the LAST up
+        block; passing that back as ``deep_cache`` on a later step recomputes ONLY the
+        shallowest level (conv_in + down block 0 for fresh skips + the last up block +
+        out head) against the current latents and reuses the cached deep feature.
+        Exactness property (tested): full(x) == cached(x, feature_of(full(x)))."""
         cfg = self.config
         batch_size, num_frames = sample.shape[0], sample.shape[1]
 
@@ -130,10 +140,9 @@ class UNetSpatioTemporalCondition(nn.Module):
         maybe_remat = nn.remat if cfg.remat else (lambda m, **kw: m)
 
         # ---- 5. down blocks (reference :620-647)
-        res_samples = (sample,)
-        for i, block_type in enumerate(cfg.down_block_types):
+        def run_down_block(i, block_type, x):
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                sample, outs = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
+                return maybe_remat(CrossAttnDownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
                     eps=cfg.resnet_eps_cross or cfg.resnet_eps,
                     transformer_layers=cfg.transformer_layers_per_block,
@@ -141,16 +150,39 @@ class UNetSpatioTemporalCondition(nn.Module):
                     add_downsample=i < len(cfg.block_out_channels) - 1, joint=cfg.joint,
                     block_path=f"down_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(sample, emb, encoder_hidden_states, image_only_indicator, joint_scale)
+                )(x, emb, encoder_hidden_states, image_only_indicator, joint_scale)
             elif block_type == "DownBlockSpatioTemporal":
-                sample, outs = maybe_remat(DownBlockSpatioTemporal)(
+                return maybe_remat(DownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], num_layers=cfg.layers_per_block,
                     eps=cfg.resnet_eps,
                     add_downsample=i < len(cfg.block_out_channels) - 1, dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(sample, emb, image_only_indicator)
-            else:
-                raise ValueError(block_type)
+                )(x, emb, image_only_indicator)
+            raise ValueError(block_type)
+
+        if deep_cache is not None:
+            # DeepCache cached step: fresh shallow skips from the CURRENT latents, deep
+            # trunk replaced by the cached feature; jump straight to the last up block.
+            if (down_block_additional_residuals is not None
+                    or mid_block_additional_residual is not None):
+                raise ValueError("deep_cache is incompatible with ControlNet residuals")
+            _, outs0 = run_down_block(0, cfg.down_block_types[0], sample)
+            shallow_skips = (sample,) + outs0[:cfg.layers_per_block]
+            last = len(cfg.up_block_types) - 1
+            sample = self._apply_up_block(
+                last, cfg.up_block_types[last], deep_cache.astype(self.dtype),
+                shallow_skips, emb, encoder_hidden_states, image_only_indicator,
+                joint_scale, maybe_remat)
+            sample = GroupNorm(32, 1e-5, dtype=self.dtype, act="silu",
+                               name="conv_norm_out")(sample)
+            sample = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                             name="conv_out")(sample)
+            out = sample.reshape((batch_size, num_frames) + sample.shape[1:])
+            return (out, deep_cache) if return_deep_feature else out
+
+        res_samples = (sample,)
+        for i, block_type in enumerate(cfg.down_block_types):
+            sample, outs = run_down_block(i, block_type, sample)
             res_samples = res_samples + outs
 
         if down_block_additional_residuals is not None:
@@ -170,31 +202,42 @@ class UNetSpatioTemporalCondition(nn.Module):
             sample = sample + mid_block_additional_residual.reshape(sample.shape).astype(sample.dtype)
 
         # ---- 7. up blocks (reference :662-680)
-        reversed_channels = tuple(reversed(cfg.block_out_channels))
-        reversed_heads = tuple(reversed(cfg.num_attention_heads))
+        deep_feature = None
         for i, block_type in enumerate(cfg.up_block_types):
             n_layers = cfg.layers_per_block + 1
             skips, res_samples = res_samples[-n_layers:], res_samples[:-n_layers]
-            add_upsample = i < len(cfg.block_out_channels) - 1
-            if block_type == "CrossAttnUpBlockSpatioTemporal":
-                sample = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
-                    reversed_channels[i], num_layers=n_layers,
-                    eps=cfg.resnet_eps_cross or cfg.resnet_eps,
-                    transformer_layers=cfg.transformer_layers_per_block, heads=reversed_heads[i],
-                    cross_attention_dim=cfg.cross_attention_dim, add_upsample=add_upsample,
-                    joint=cfg.joint, block_path=f"up_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
-                    name=f"up_blocks_{i}",
-                )(sample, skips, emb, encoder_hidden_states, image_only_indicator, joint_scale)
-            elif block_type == "UpBlockSpatioTemporal":
-                sample = maybe_remat(UpBlockSpatioTemporal)(
-                    reversed_channels[i], num_layers=n_layers, add_upsample=add_upsample,
-                    eps=cfg.resnet_eps_up or cfg.resnet_eps,
-                    dtype=self.dtype, name=f"up_blocks_{i}",
-                )(sample, skips, emb, image_only_indicator)
-            else:
-                raise ValueError(block_type)
+            if i == len(cfg.up_block_types) - 1:
+                deep_feature = sample  # DeepCache boundary: input of the last up block
+            sample = self._apply_up_block(i, block_type, sample, skips, emb,
+                                          encoder_hidden_states, image_only_indicator,
+                                          joint_scale, maybe_remat)
 
         # ---- 8. out head (reference :682-688)
         sample = GroupNorm(32, 1e-5, dtype=self.dtype, act="silu", name="conv_norm_out")(sample)
         sample = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(sample)
-        return sample.reshape((batch_size, num_frames) + sample.shape[1:])
+        out = sample.reshape((batch_size, num_frames) + sample.shape[1:])
+        return (out, deep_feature) if return_deep_feature else out
+
+    def _apply_up_block(self, i, block_type, sample, skips, emb, encoder_hidden_states,
+                        image_only_indicator, joint_scale, maybe_remat):
+        cfg = self.config
+        reversed_channels = tuple(reversed(cfg.block_out_channels))
+        reversed_heads = tuple(reversed(cfg.num_attention_heads))
+        n_layers = cfg.layers_per_block + 1
+        add_upsample = i < len(cfg.block_out_channels) - 1
+        if block_type == "CrossAttnUpBlockSpatioTemporal":
+            return maybe_remat(CrossAttnUpBlockSpatioTemporal)(
+                reversed_channels[i], num_layers=n_layers,
+                eps=cfg.resnet_eps_cross or cfg.resnet_eps,
+                transformer_layers=cfg.transformer_layers_per_block, heads=reversed_heads[i],
+                cross_attention_dim=cfg.cross_attention_dim, add_upsample=add_upsample,
+                joint=cfg.joint, block_path=f"up_blocks.{i}", lora=cfg.lora, dtype=self.dtype,
+                name=f"up_blocks_{i}",
+            )(sample, skips, emb, encoder_hidden_states, image_only_indicator, joint_scale)
+        if block_type == "UpBlockSpatioTemporal":
+            return maybe_remat(UpBlockSpatioTemporal)(
+                reversed_channels[i], num_layers=n_layers, add_upsample=add_upsample,
+                eps=cfg.resnet_eps_up or cfg.resnet_eps,
+                dtype=self.dtype, name=f"up_blocks_{i}",
+            )(sample, skips, emb, image_only_indicator)
+        raise ValueError(block_type)

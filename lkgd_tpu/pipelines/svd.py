@@ -49,6 +49,12 @@ class SVDPipelineConfig:
     # batch-doubled: same FLOPs, ~half the peak activation HBM — the deployment switch
     # for memory-tight configs (trans joint batches at 576x1024 on one 16 GB chip)
     sequential_cfg: bool = False
+    # DeepCache (Ma et al., arXiv:2312.00858) opt-in serving accelerator: every N-th
+    # step runs the full UNet and caches the deep trunk (input of the last up block);
+    # intermediate steps recompute only the shallowest level against the current
+    # latents. 1 = off (the exact/default path — the parity headline is unaffected).
+    # APPROXIMATE when >1: outputs change; validate quality for your checkpoint.
+    deep_cache_interval: int = 1
 
 
 
@@ -201,7 +207,11 @@ class StableVideoDiffusionPipeline:
         latents = self._shard_video(latents)
         image_latents = self._shard_video(image_latents)
 
+        dc = int(getattr(cfg, "deep_cache_interval", 1) or 1)
         sequential = cfg.sequential_cfg and cfg.do_classifier_free_guidance
+        if dc > 1 and sequential:
+            raise ValueError("deep_cache_interval and sequential_cfg are mutually "
+                             "exclusive (the cache spans the CFG-doubled batch)")
         if sequential:
             # (2B, ...) stream-major [uncond; cond] -> (2, B, ...) halves for lax.map
             emb_pair = image_embeddings.reshape(2, batch_size, *image_embeddings.shape[1:])
@@ -239,6 +249,48 @@ class StableVideoDiffusionPipeline:
                 noise_pred = uncond + guidance * (cond - uncond)
             latents, _ = scheduler.step(schedule, noise_pred, i, latents)
             return latents, ()
+
+        if dc > 1:
+            # DeepCache scan: carry (latents, deep trunk feature); every dc-th step
+            # refreshes the cache with a full pass (step 0 is always full)
+            rows = batch_size * (2 if cfg.do_classifier_free_guidance else 1)
+            ucfg = self.unet.config
+            cache0 = jnp.zeros((rows * cfg.num_frames, self.latent_height,
+                                self.latent_width, ucfg.block_out_channels[1]),
+                               self.dtype)
+
+            def step_fn_dc(carry, i):
+                latents, cache = carry
+                t = schedule.timesteps[i]
+                model_in = (jnp.concatenate([latents] * 2, axis=0)
+                            if cfg.do_classifier_free_guidance else latents)
+                model_in = scheduler.scale_model_input(schedule, model_in, i)
+                model_in = jnp.concatenate([model_in.astype(self.dtype), image_latents],
+                                           axis=-1)
+
+                def full(mc):
+                    m, _ = mc
+                    return self.unet.apply(params["unet"], m, t, image_embeddings,
+                                           added_time_ids, return_deep_feature=True)
+
+                def cached(mc):
+                    m, c = mc
+                    return self.unet.apply(params["unet"], m, t, image_embeddings,
+                                           added_time_ids, deep_cache=c,
+                                           return_deep_feature=True)
+
+                noise_pred, cache = jax.lax.cond(i % dc == 0, full, cached,
+                                                 (model_in, cache))
+                noise_pred = noise_pred.astype(jnp.float32)
+                if cfg.do_classifier_free_guidance:
+                    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance * (cond - uncond)
+                latents, _ = scheduler.step(schedule, noise_pred, i, latents)
+                return (latents, cache), ()
+
+            (latents, _), _ = jax.lax.scan(step_fn_dc, (latents, cache0),
+                                           jnp.arange(schedule.num_steps))
+            return latents
 
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(schedule.num_steps))
         return latents
