@@ -112,7 +112,9 @@ def crosses_slices(line: str, slice_of: Dict[int, int]) -> bool:
     if groups is None:
         return True
     for g in groups:
-        if len({slice_of.get(d, -1) for d in g}) > 1:
+        # unknown ids are conservative: each gets a unique pseudo-slice, so any group
+        # containing one (or spanning real slices) classifies DCN
+        if len({slice_of.get(d, f"?{d}") for d in g}) > 1:
             return True
     return False
 

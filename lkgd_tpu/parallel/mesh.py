@@ -76,15 +76,20 @@ def make_mesh(axes: Optional[Dict[str, int]] = None,
 
 def slice_of_device_map(mesh: Mesh, dcn_axes: Tuple[str, ...] = (SLICE_AXIS,)
                         ) -> Dict[int, int]:
-    """{device_id: slice ordinal} for a mesh built by :func:`make_mesh` — feeds the
-    DCN/ICI traffic split in :mod:`.collective_audit`. The slice ordinal is the device's
-    joint index along the mesh's DCN axes (its real ``slice_index`` when available)."""
+    """{LOGICAL partition id: slice ordinal} for a mesh built by :func:`make_mesh` —
+    feeds the DCN/ICI traffic split in :mod:`.collective_audit`.
+
+    Keys are positions in the mesh's row-major flattened device array — the order jax
+    hands XLA as the device assignment, which is what compiled-HLO ``replica_groups``
+    reference. (Hardware ``device.id``s do NOT work here: multi-slice topologies number
+    them 100000/200000/... while the HLO says 0..N-1 — audited r5, the id-keyed map
+    silently classified every collective intra-slice.) The slice ordinal is the
+    device's real ``slice_index`` when available, else its joint index along the
+    mesh's DCN axes."""
     names = mesh.axis_names
     arr = mesh.devices
     out: Dict[int, int] = {}
-    it = np.nditer(np.empty(arr.shape, dtype=np.int8), flags=["multi_index"])
-    for _ in it:
-        idx = it.multi_index
+    for flat, idx in enumerate(np.ndindex(arr.shape)):  # row-major = jax's assignment
         d = arr[idx]
         s = getattr(d, "slice_index", None)
         if s is None:
@@ -92,7 +97,7 @@ def slice_of_device_map(mesh: Mesh, dcn_axes: Tuple[str, ...] = (SLICE_AXIS,)
             for ax, name in enumerate(names):
                 if name in dcn_axes:
                     s = s * arr.shape[ax] + idx[ax]
-        out[d.id if hasattr(d, "id") else int(d)] = int(s)
+        out[flat] = int(s)
     return out
 
 

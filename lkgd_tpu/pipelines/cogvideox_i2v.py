@@ -181,6 +181,89 @@ class CogVideoXImageToVideoPipeline:
             latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(start_index, n))
         return latents
 
+    def _segment_impl(self, params, latents, ctx, img_rows, idx,
+                      domain_features=None, flow_features=None):
+        """One K-step DDIM segment with the step indices ``idx`` passed as DATA, so a
+        single compiled program serves every segment. Serving knob for runtimes that
+        bound single-dispatch execution time (the axon TPU relay kills executions
+        past ~1 min — measured r5: the 50-step 5B scan is a ~360 s single dispatch and
+        crashes the worker; 5-step segments run clean). Semantically identical to the
+        one-scan path: same predict/step ops, indices merely arrive as an array."""
+        cfg = self.config
+        schedule, scheduler = self.schedule, self.scheduler
+        n = schedule.num_steps
+        do_cfg = cfg.guidance_scale > 1.0
+
+        def predict(latents, i):
+            t = schedule.timesteps[i]
+            model_in = (jnp.concatenate([latents] * 2, axis=0)
+                        if do_cfg else latents).astype(self.dtype)
+            if img_rows is not None:
+                model_in = jnp.concatenate([model_in, img_rows], axis=-1)
+            pred = self.transformer.apply(
+                params["transformer"], model_in, ctx,
+                jnp.full((model_in.shape[0],), t, jnp.float32),
+                domain_features=domain_features, flow_features=flow_features,
+            ).astype(jnp.float32)
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                if cfg.use_dynamic_cfg:
+                    g = 1.0 + (cfg.guidance_scale - 1.0) * (
+                        (1.0 - jnp.cos(jnp.pi * ((n - i.astype(jnp.float32)) / n) ** 5.0)) / 2.0)
+                else:
+                    g = cfg.guidance_scale
+                pred = uncond + g * (cond - uncond)
+            return pred
+
+        def step_fn(latents, i):
+            latents, _ = scheduler.step(schedule, predict(latents, i), i, latents)
+            return latents, ()
+
+        latents, _ = jax.lax.scan(step_fn, latents, idx)
+        return latents
+
+    def generate_segmented(self, params, prompt_embeds, image_latents,
+                           negative_prompt_embeds=None, rng=None,
+                           segment_steps: int = 5,
+                           domain_features=None, flow_features=None):
+        """DDIM generation dispatched in ``segment_steps``-step chunks (see
+        _segment_impl). Only the ddim scheduler is supported (the dpm path carries SDE
+        noise history keyed on the global step — use the one-scan path for it)."""
+        if self.config.scheduler != "ddim":
+            raise ValueError("generate_segmented supports the ddim scheduler only")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        prompt_embeds = jnp.asarray(prompt_embeds)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        cfg = self.config
+        b, f = prompt_embeds.shape[0], self.latent_frames
+        image_latents = jnp.asarray(image_latents)
+        img = jnp.concatenate([
+            image_latents[:, None],
+            jnp.zeros((b, f - 1) + image_latents.shape[1:], image_latents.dtype)], axis=1)
+        do_cfg = cfg.guidance_scale > 1.0
+        ctx = (jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
+               if do_cfg else prompt_embeds).astype(self.dtype)
+        img_rows = (jnp.concatenate([img, img], axis=0) if do_cfg else img).astype(self.dtype)
+        latents = jax.random.normal(
+            rng, (b, f, cfg.latent_height, cfg.latent_width,
+                  self.transformer.config.out_channels), jnp.float32)
+        if not hasattr(self, "_segment"):
+            self._segment = jax.jit(self._segment_impl)
+        n = self.schedule.num_steps
+        for s in range(0, n, segment_steps):
+            idx = jnp.arange(s, min(s + segment_steps, n), dtype=jnp.int32)
+            if idx.shape[0] != segment_steps:  # ragged tail: ONE extra (1,)-shaped
+                # program reused for each remaining step
+                for j in range(int(idx.shape[0])):
+                    latents = self._segment(params, latents, ctx, img_rows, idx[j:j + 1],
+                                            domain_features, flow_features)
+            else:
+                latents = self._segment(params, latents, ctx, img_rows, idx,
+                                        domain_features, flow_features)
+        return latents
+
     def _generate_impl(self, params, prompt_embeds, negative_prompt_embeds, image_latents,
                        rng, domain_features=None, flow_features=None):
         # image conditioning: first-frame latents, zeros for the rest (I2V)

@@ -486,3 +486,28 @@ class TestCogVideoX2B:
         pos = sincos_pos_embed_3d(64, 3, 4, 5)
         assert pos.shape == (3 * 4 * 5, 64)
         assert bool(jnp.isfinite(pos).all())
+
+
+def test_generate_segmented_matches_one_scan():
+    """Segmented dispatch (generate_segmented: step indices as data, one compiled
+    K-step program re-dispatched) must reproduce the one-scan DDIM path exactly —
+    it is a dispatch-granularity knob, not an approximation."""
+    import numpy as np
+
+    from lkgd_tpu.models.cogvideox import CogVideoXConfig
+    from lkgd_tpu.pipelines.cogvideox_i2v import (CogVideoXImageToVideoPipeline,
+                                                  CogVideoXPipelineConfig)
+
+    pcfg = CogVideoXPipelineConfig(height=32, width=32, num_frames=9,
+                                   num_inference_steps=7, scheduler="ddim")
+    pipe = CogVideoXImageToVideoPipeline(pcfg, CogVideoXConfig.tiny(),
+                                         dtype=jnp.float32)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 64)) * 0.1
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 4)) * 0.5
+    rng = jax.random.PRNGKey(3)
+    one = np.asarray(pipe._generate(params, pe, jnp.zeros_like(pe), img, rng,
+                                    None, None))
+    segd = np.asarray(pipe.generate_segmented(params, pe, img, rng=rng,
+                                              segment_steps=3))  # 3+3+1 ragged tail
+    np.testing.assert_allclose(segd, one, rtol=2e-5, atol=2e-5)

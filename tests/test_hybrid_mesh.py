@@ -31,18 +31,20 @@ def test_hybrid_layout_slices_are_contiguous():
 
 
 def test_hybrid_layout_slice_not_leading():
-    # caller puts the DCN axis in the middle: ICI axes must still be within-slice
+    # caller puts the DCN axis in the middle: ICI axes must still be within-slice.
+    # slice_of_device_map keys by LOGICAL (row-major flat) position — the id space
+    # compiled-HLO replica_groups use — so translate devices to positions first.
     mesh = meshlib.make_mesh({"data": 2, "slice": 2, "context": 2})
     smap = meshlib.slice_of_device_map(mesh)
     arr = mesh.devices
+    pos = {arr[idx].id: flat for flat, idx in enumerate(np.ndindex(arr.shape))}
+    sl = lambda d: smap[pos[d.id]]
     for i in range(2):
         for k in range(2):
-            col = [arr[i, s, k] for s in range(2)]
-            assert smap[col[0].id] != smap[col[1].id]  # slice axis crosses slices
+            assert sl(arr[i, 0, k]) != sl(arr[i, 1, k])  # slice axis crosses slices
         # context axis stays within one slice
         for s in range(2):
-            row = [arr[i, s, k] for k in range(2)]
-            assert smap[row[0].id] == smap[row[1].id]
+            assert sl(arr[i, s, 0]) == sl(arr[i, s, 1])
 
 
 def test_parse_groups_formats():
