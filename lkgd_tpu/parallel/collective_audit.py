@@ -122,12 +122,23 @@ def crosses_slices(line: str, slice_of: Dict[int, int]) -> bool:
 def split_dcn_ici(hlo_text: str, slice_of: Dict[int, int]):
     """Optimized HLO -> {"dcn": {op: [(bytes, line)...]}, "ici": {...}} — the per-
     substrate traffic split for hybrid (multi-slice) meshes. DCN bandwidth is ~100x
-    scarcer than ICI, so hybrid layouts are certified on the DCN bytes specifically."""
+    scarcer than ICI, so hybrid layouts are certified on the DCN bytes specifically.
+
+    Cross-slice traffic takes TWO forms in XLA:TPU HLO (both classified DCN here):
+      * ordinary collectives whose replica groups span slices, and
+      * **MegaScale host transfers** — ``send``/``recv`` instructions with
+        ``_xla_host_transfer_handler_name="xla_megascale_runtime"`` implementing the
+        cross-slice leg of a hybrid collective (the within-slice legs stay as
+        reduce-scatter/all-gather). Only ``send`` payload bytes are counted
+        (recv is the same transfer arriving)."""
     dcn: Dict[str, List[Tuple[int, str]]] = collections.defaultdict(list)
     ici: Dict[str, List[Tuple[int, str]]] = collections.defaultdict(list)
     for line in hlo_text.splitlines():
         s = line.strip()
         body = s.split(" = ", 1)[-1]
+        if "megascale" in s and re.match(r"(\(.*\)|\S+)\s*send\(", body):
+            dcn["megascale-send"].append((_result_bytes(s), s[:160]))
+            continue
         for op in COLLECTIVE_OPS:
             if re.match(rf"(\(.*\)|\S+)\s*{op}(-start)?\(", body) or body.startswith(op):
                 target = dcn if crosses_slices(s, slice_of) else ici
@@ -142,7 +153,7 @@ def audit_compiled(compiled) -> Dict[str, List[Tuple[int, str]]]:
 
 def summarize(found: Dict[str, List[Tuple[int, str]]]) -> str:
     lines = []
-    for op in COLLECTIVE_OPS:
+    for op in tuple(COLLECTIVE_OPS) + tuple(k for k in found if k not in COLLECTIVE_OPS):
         entries = found.get(op, [])
         if not entries:
             continue

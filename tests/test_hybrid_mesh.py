@@ -117,3 +117,24 @@ def test_hybrid_zero_train_numerics_match_flat_mesh():
         with jax.set_mesh(mesh):
             outs.append(np.asarray(jax.jit(step)(ws, xs)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+
+
+def test_megascale_send_classified_dcn():
+    """Cross-slice legs of hybrid collectives lower as MegaScale host transfers on
+    real 2-slice topologies (observed r5: within-slice reduce-scatter/all-gather +
+    send/recv with _xla_host_transfer_handler_name=xla_megascale_runtime) — the DCN
+    split must count those send payloads."""
+    hlo = "\n".join([
+        'HloModule m',
+        '%rs = f32[32,256] reduce-scatter(%x), channel_id=1, '
+        'replica_groups={{0,1,2,3,4,5,6,7}}, use_global_device_ids=true',
+        '%send = (f32[8,8,128], u32[], token[]) send(%b, %t), channel_id=2, '
+        'is_host_transfer=true, frontend_attributes='
+        '{_xla_host_transfer_handler_name="xla_megascale_runtime"}',
+    ])
+    smap = {i: int(i >= 8) for i in range(16)}
+    split = split_dcn_ici(hlo, smap)
+    assert "megascale-send" in split["dcn"]
+    bytes_sent = split["dcn"]["megascale-send"][0][0]
+    assert bytes_sent == 8 * 8 * 128 * 4 + 4, bytes_sent
+    assert "reduce-scatter" in split["ici"]  # groups {0..7} stay within slice 0
