@@ -755,11 +755,22 @@ def bench_mesh_cogvideox_dryrun():
     b, t, h, w = 2, 13, 60, 90  # CFG-doubled; 49f x 480x720 latents
 
     configs = [
-        ("tp4_data2", {"data": 2, "model": 4}, "tp", "none"),
-        ("ulysses_sp4_data2", {"data": 2, "context": 4}, "replicated", "ulysses"),
-        ("fsdp4_data2", {"data": 2, "model": 4}, "fsdp", "none"),
+        # (tag, layout, weight mode, sequence_parallel, latent frames)
+        # ulysses shards the video token axis over 'context': 13 latent frames x 1350
+        # tokens/frame is not 4-divisible, so the SP=4 serving config pads the clip to
+        # 16 latent frames (the same pad-then-trim discipline as the SVD mesh path;
+        # xDiT pads identically) — conservative +23% FLOPs in this cert
+        # pure-SP (weights replicated) is NOT v5e-deployable for the 5B model:
+        # measured r5, XLA buffer assignment needs 21.67 GB (11.2 GB bf16 weights per
+        # chip + sharded activations) vs 15.75 GB hbm — on 16 GB chips ulysses must
+        # combine with FSDP weight sharding over the same axis (xDiT's A100s simply
+        # have the 40-80 GB to replicate into)
+        ("tp4_data2", {"data": 2, "model": 4}, "tp", "none", t),
+        ("ulysses_sp4_fsdp4_pad16f", {"data": 2, "context": 4}, "fsdp:context",
+         "ulysses", 16),
+        ("fsdp4_data2", {"data": 2, "model": 4}, "fsdp:model", "none", t),
     ]
-    for tag, layout, weight_mode, seq_par in configs:
+    for tag, layout, weight_mode, seq_par, t in configs:
         mesh = Mesh(np.array(topo_devs).reshape(tuple(layout.values())),
                     tuple(layout.keys()))
         cfg = dataclasses.replace(CogVideoXConfig.cogvideox_5b_i2v(),
@@ -774,16 +785,19 @@ def bench_mesh_cogvideox_dryrun():
                                     sharding=NamedSharding(mesh, P("data")))
         ts = jax.ShapeDtypeStruct((b,), jnp.int32,
                                   sharding=NamedSharding(mesh, P()))
+        key0 = jax.random.PRNGKey(0)  # concrete; MUST be made outside the deviceless
+        # topology-mesh context (eager dispatch there has no local devices)
         with jax.set_mesh(mesh):  # SP configs emit PartitionSpec sharding constraints
             shapes = jax.eval_shape(
-                model.init, jax.random.PRNGKey(0),
+                model.init, key0,
                 jax.ShapeDtypeStruct((b, t, h, w, cfg.in_channels), jnp.bfloat16),
                 jax.ShapeDtypeStruct((b, cfg.max_text_seq_length, 4096), jnp.bfloat16),
                 jax.ShapeDtypeStruct((b,), jnp.int32))
         if weight_mode == "tp":
             specs = tplib.cogvideox_tp_specs(shapes, axis="model")
-        elif weight_mode == "fsdp":
-            specs = tplib.fsdp_specs(shapes, axis="model", axis_size=layout["model"])
+        elif weight_mode.startswith("fsdp:"):
+            ax = weight_mode.split(":", 1)[1]
+            specs = tplib.fsdp_specs(shapes, axis=ax, axis_size=layout[ax])
         else:
             specs = jax.tree.map(lambda _: P(), shapes)
         pshapes = jax.tree.map(
