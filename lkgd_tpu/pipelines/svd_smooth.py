@@ -38,7 +38,13 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
         chunk = self.config.num_frames
         self.n_chunks = int(np.ceil((total_frames + chunk - 1) / chunk))
 
-    def _generate_impl(self, params, video: jnp.ndarray, rng: jax.Array):
+    def _generate_impl(self, params, video: jnp.ndarray, rng: jax.Array,
+                       noise_aug=None, initial_noise=None):
+        """``noise_aug`` / ``initial_noise``: optional pre-drawn standard normals
+        (video shape / (1, T, h, w, 4)) replacing the internal PRNG draws — the
+        deterministic-noise hooks the base ``generate`` threads through
+        (cli/verify_parity record/check; the r4 hook addition broke smooth's
+        3-arg signature, caught by the r5 bench refresh)."""
         cfg = self.config
         K = cfg.num_frames
         T = self.total_frames
@@ -49,7 +55,8 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
         # conditioning for EVERY frame (any frame can become a chunk boundary)
         image_embeddings = self._encode_clip(params["image_encoder"], video)  # (T, 1, D)
         video_m11 = video * 2.0 - 1.0
-        noise = jax.random.normal(rng_aug, video_m11.shape, jnp.float32)
+        noise = (jax.random.normal(rng_aug, video_m11.shape, jnp.float32)
+                 if noise_aug is None else noise_aug.astype(jnp.float32))
         cond_latents = self._encode_vae_cond(params["vae"],
                                              video_m11 + cfg.noise_aug_strength * noise)  # (T,h,w,4)
         zero_emb = jnp.zeros_like(image_embeddings[:1])
@@ -58,9 +65,11 @@ class StableVideoDiffusionSmoothPipeline(StableVideoDiffusionPipeline):
         # original latents, noised to sigma[start_step] (SDEdit; reference :516-518)
         orig_latents = self._encode_vae_cond(params["vae"], video_m11).astype(jnp.float32)
         orig_latents = orig_latents * self.vae_scaling
+        sdedit_noise = (jax.random.normal(rng_noise, (1, T) + orig_latents.shape[1:],
+                                          jnp.float32)
+                        if initial_noise is None else initial_noise.astype(jnp.float32))
         latents = self.scheduler.add_noise(
-            self.schedule, orig_latents[None],
-            jax.random.normal(rng_noise, (1, T) + orig_latents.shape[1:], jnp.float32),
+            self.schedule, orig_latents[None], sdedit_noise,
             jnp.asarray([self.start_step]))[0]  # (T, h, w, 4)
 
         added_time_ids = self._add_time_ids(4 * NC)

@@ -232,3 +232,34 @@ def test_controlnet_sequential_cfg_matches_batched():
     lat_b = pipe_b(params, img, control=ctrl, rng=rng, output_type="latent")
     lat_s = pipe_s(params, img, control=ctrl, rng=rng, output_type="latent")
     np.testing.assert_allclose(np.asarray(lat_s), np.asarray(lat_b), rtol=2e-4, atol=2e-4)
+
+
+def test_smooth_generate_accepts_oracle_noise_hooks():
+    """The base-class generate() threads noise_aug/initial_noise (the verify_parity
+    deterministic-noise hooks, added r4) into _generate — smooth's override must accept
+    them (regression: the 3-arg signature broke pipe.generate() and the smooth bench),
+    and passing the same noise explicitly must reproduce the internal draw exactly."""
+    import numpy as np
+
+    cfg = SVDPipelineConfig(height=64, width=64, num_frames=4, num_inference_steps=4,
+                            decode_chunk_size=2)
+    pipe = StableVideoDiffusionSmoothPipeline(config=cfg, unet_config=JOINT_UNET,
+                                              start_step=1, total_frames=10, **KW)
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    video = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(pipe.total_frames, 64, 64, 3)),
+        jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    out = pipe.generate(params, video, rng)  # the previously-broken entry
+    assert np.isfinite(np.asarray(out)).all()
+    # explicit hooks: drawing the same normals outside reproduces the default run
+    rng_aug, rng_noise, _ = jax.random.split(rng, 3)
+    noise_aug = jax.random.normal(rng_aug, (pipe.total_frames, 64, 64, 3), jnp.float32)
+    lat_shape = (1, pipe.total_frames, pipe.latent_height, pipe.latent_width, 4)
+    init_noise = jax.random.normal(rng_noise, lat_shape, jnp.float32)
+    lat_default = pipe._generate(params, video, rng)
+    lat_explicit = pipe._generate(params, video, rng, noise_aug, init_noise)
+    # same math, different compiled programs (noise as arg vs internal draw) ->
+    # fp-reassociation-level tolerance, not bit equality
+    np.testing.assert_allclose(np.asarray(lat_default), np.asarray(lat_explicit),
+                               rtol=5e-4, atol=5e-4)
